@@ -1,0 +1,233 @@
+"""The log P/Q evaluator — heart of the framework.
+
+Parity: reference ``src/alan/logpq.py``.  A trace-time recursive walk over the
+(P, Q) plate trees gathers per-group log-factors
+``log P - reduce_logQ(log Q) - log K`` (each carrying its K-dims and plate
+dims), contracts the K-dims with the opt_einsum-planned log-space engine
+(``alan_tpu.reduce_ks``), sums plates, and chains timeseries factors with
+log-space matmuls.  Everything happens on dimmed tensors with static shapes:
+under ``jit`` the recursion disappears and one XLA program remains.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+
+from .dims import DT, as_dt, bind, dims_of, sum_dims, unify_dims
+from .ir.plate import Plate, update_scope
+from .ir.dist import Dist, datagroup
+from .ir.data import Data
+from .ir.timeseries import Timeseries
+from .reduce_ks import reduce_Ks
+from .split import Split, checkpoint, no_checkpoint
+from .ops import chain_logmmexp
+from .utils import tree_values
+
+
+def logPQ_plate(name: Optional[str], P: Plate, Q: Plate, sample: dict,
+                inputs_params: dict, data: dict, extra_log_factors: dict,
+                scope: dict, active_platedims: list, all_platedims: dict,
+                groupvarname2Kdim: dict, varname2groupvarname: dict,
+                sampler, computation_strategy):
+    """Evaluate a plate, possibly in Split chunks with a running accumulator
+    (reference ``logpq.py:15-60``)."""
+    siedas = computation_strategy.split_args(
+        name=name, sample=sample, inputs_params=inputs_params,
+        extra_log_factors=extra_log_factors, data=data,
+        all_platedims=all_platedims)
+
+    use_remat = computation_strategy is checkpoint
+
+    lpq = None
+    for sieda in siedas:
+        lpq = _logPQ_plate_maybe_remat(
+            use_remat,
+            name=name, P=P, Q=Q, scope=scope,
+            active_platedims=active_platedims,
+            groupvarname2Kdim=groupvarname2Kdim,
+            varname2groupvarname=varname2groupvarname,
+            sampler=sampler, computation_strategy=computation_strategy,
+            prev_lpq=lpq, **sieda)
+    assert lpq is not None
+    return lpq, (), (), ()
+
+
+def _logPQ_plate_maybe_remat(use_remat, *, name, P, Q, sample, inputs_params,
+                             data, extra_log_factors, scope, active_platedims,
+                             all_platedims, groupvarname2Kdim,
+                             varname2groupvarname, sampler,
+                             computation_strategy, prev_lpq):
+    if not use_remat:
+        return _logPQ_plate(
+            name=name, P=P, Q=Q, sample=sample, inputs_params=inputs_params,
+            data=data, extra_log_factors=extra_log_factors, scope=scope,
+            active_platedims=active_platedims, all_platedims=all_platedims,
+            groupvarname2Kdim=groupvarname2Kdim,
+            varname2groupvarname=varname2groupvarname, sampler=sampler,
+            computation_strategy=computation_strategy, prev_lpq=prev_lpq)
+
+    # jax.checkpoint over the dynamic pytree args; statics are closed over.
+    def body(sample_, inputs_params_, data_, elfs_, scope_, prev_lpq_):
+        return _logPQ_plate(
+            name=name, P=P, Q=Q, sample=sample_, inputs_params=inputs_params_,
+            data=data_, extra_log_factors=elfs_, scope=scope_,
+            active_platedims=active_platedims, all_platedims=all_platedims,
+            groupvarname2Kdim=groupvarname2Kdim,
+            varname2groupvarname=varname2groupvarname, sampler=sampler,
+            computation_strategy=computation_strategy, prev_lpq=prev_lpq_)
+
+    return jax.checkpoint(body)(sample, inputs_params, data,
+                                extra_log_factors, scope, prev_lpq)
+
+
+def _logPQ_plate(*, name, P, Q, sample, inputs_params, data,
+                 extra_log_factors, scope, active_platedims, all_platedims,
+                 groupvarname2Kdim, varname2groupvarname, sampler,
+                 computation_strategy, prev_lpq):
+    """(reference ``logpq.py:68-155``)"""
+    assert isinstance(P, Plate) and isinstance(Q, Plate)
+    assert isinstance(sample, dict) and isinstance(data, dict)
+
+    if name is not None:
+        active_platedims = [*active_platedims, name]
+
+    scope = update_scope(scope, inputs_params)
+    scope = update_scope(scope, sample)
+
+    lps, all_Ks, K_currs, K_inits = lp_getter(
+        name=name, P=P, Q=Q, sample=sample, inputs_params=inputs_params,
+        data=data, extra_log_factors=extra_log_factors, scope=scope,
+        active_platedims=active_platedims, all_platedims=all_platedims,
+        groupvarname2Kdim=groupvarname2Kdim,
+        varname2groupvarname=varname2groupvarname, sampler=sampler,
+        computation_strategy=computation_strategy)
+
+    assert len(K_currs) == len(K_inits)
+
+    # Sum out non-timeseries Ks.
+    lp = reduce_Ks(lps, all_Ks)
+
+    if name is not None:
+        if len(K_inits) > 0:
+            # Timeseries: contract the [T, Kinit, K] chain with log-matmuls
+            # (reference logpq.py:131-146); one timeseries group per plate.
+            assert len(K_inits) == 1, "one timeseries group per plate supported"
+            (Kinit,), (Kcurr,) = K_inits, K_currs
+            o = lp.order(name, Kinit, Kcurr)   # (*higher, T, Ki, K)
+            chained = chain_logmmexp(o.data)   # (*higher, Ki, K)
+            import jax.numpy as jnp
+            summed = jnp.log(jnp.sum(jnp.exp(chained - jax.lax.stop_gradient(
+                jnp.max(chained, axis=-1, keepdims=True))), axis=-1))
+            maxv = jax.lax.stop_gradient(jnp.max(chained, axis=-1))
+            lp = bind(DT(summed + maxv, o.dims), Kinit)
+            assert prev_lpq is None
+        else:
+            lp = sum_dims(lp, (name,), ignore_extra_dims=True)
+            if prev_lpq is not None:
+                assert set(dims_of(lp)) == set(dims_of(prev_lpq))
+                lp = lp + prev_lpq
+    return lp
+
+
+def logPQ_gdt(*, name, P, Q, sample, inputs_params, data, extra_log_factors,
+              scope, active_platedims, all_platedims, groupvarname2Kdim,
+              varname2groupvarname, sampler, computation_strategy):
+    """Per-group factor: ``Σ logP − reduce_logQ(Σ logQ) − log K``
+    (reference ``logpq.py:157-254``)."""
+    assert isinstance(sample, dict)
+    assert inputs_params is None and extra_log_factors is None
+    prog_P, prog_Q = P, Q
+    assert set(prog_P.keys()) == set(prog_Q.keys())
+
+    # Data variable: factor is logP(data).
+    if datagroup(prog_Q):
+        assert len(prog_Q) == 1
+        k = next(iter(prog_Q))
+        assert isinstance(prog_Q[k], Data)
+        assert sample[k] is None
+        lp, _ = prog_P[k].log_prob(data[k], scope, None, None)
+        return lp, (), (), ()
+
+    Kdim = groupvarname2Kdim[name]
+    total_logP = 0.0
+    total_logQ = 0.0
+
+    T_dim = active_platedims[-1] if len(active_platedims) >= 1 else None
+
+    Kinits = []
+    K = None
+    for k in prog_P:
+        dist_P, dist_Q, sample_k = prog_P[k], prog_Q[k], sample[k]
+        assert isinstance(dist_P, (Dist, Timeseries))
+        assert isinstance(dist_Q, (Dist, Timeseries))
+        assert sample_k is not None
+        assert data[k] is None
+        K = as_dt(sample_k).dim_size(Kdim)
+
+        lp, Kinit_p = dist_P.log_prob(sample_k, scope, T_dim, Kdim)
+        lq, Kinit_q = dist_Q.log_prob(sample_k, scope, T_dim, Kdim)
+        if Kinit_q is not None:
+            assert Kinit_p == Kinit_q
+        if Kinit_p is not None:
+            Kinits.append(Kinit_p)
+
+        total_logP = total_logP + lp
+        total_logQ = total_logQ + lq
+
+    total_logQ = sampler.reduce_logQ(total_logQ, active_platedims, Kdim)
+    lp = total_logP - total_logQ - math.log(K)
+
+    if len(Kinits) >= 1:
+        Kinit0 = Kinits[0]
+        for ki in Kinits[1:]:
+            assert ki == Kinit0
+        return lp, (), (Kdim,), (Kinit0,)
+    return lp, (Kdim,), (), ()
+
+
+def lp_getter(*, name, P, Q, sample, inputs_params, data, extra_log_factors,
+              scope, active_platedims, all_platedims, groupvarname2Kdim,
+              varname2groupvarname, sampler, computation_strategy):
+    """Traverse Q (by P's structure) collecting per-child log factors
+    (reference ``logpq.py:257-332``)."""
+    assert isinstance(P, Plate) and isinstance(Q, Plate)
+    assert set(P.flat_prog.keys()) == set(Q.flat_prog.keys())
+
+    lps = list(tree_values(extra_log_factors).values())
+    Knon_timeseries, Ktimeseries, Kinits = [], [], []
+
+    for childname, childQ in Q.grouped_prog.items():
+        if isinstance(childQ, dict):
+            childP = {vn: P.flat_prog[vn] for vn in childQ}
+            method = logPQ_gdt
+            kwargs = dict(
+                sample=Q.grouped_get(sample, childname),
+                data=Q.grouped_get(data, childname),
+                inputs_params=None,
+                extra_log_factors=None)
+        else:
+            assert isinstance(childQ, Plate)
+            childP = P.flat_prog[childname]
+            assert isinstance(childP, Plate)
+            method = logPQ_plate
+            kwargs = dict(
+                sample=Q.grouped_get(sample, childname),
+                data=Q.grouped_get(data, childname),
+                inputs_params=inputs_params.get(childname) or {},
+                extra_log_factors=extra_log_factors.get(childname) or {})
+
+        lp, _Knt, _Kt, _Ki = method(
+            name=childname, P=childP, Q=childQ, scope=scope,
+            active_platedims=active_platedims, all_platedims=all_platedims,
+            groupvarname2Kdim=groupvarname2Kdim,
+            varname2groupvarname=varname2groupvarname, sampler=sampler,
+            computation_strategy=computation_strategy, **kwargs)
+
+        lps.append(lp)
+        Knon_timeseries.extend(_Knt)
+        Ktimeseries.extend(_Kt)
+        Kinits.extend(_Ki)
+
+    return lps, Knon_timeseries, Ktimeseries, Kinits

@@ -1,0 +1,216 @@
+"""The K-contraction engine (parity: reference ``src/alan/reduce_Ks.py``).
+
+Summing the K^n combinations of per-latent particles factorises into a
+tensor-network contraction over the named K-dims.  We plan the contraction
+once per program structure with ``opt_einsum.contract_path`` (shapes only —
+pure trace-time work, exactly as the reference does at
+``reduce_Ks.py:255-298``) and execute each path step as a fused
+``logsumexp(sum of factors)`` over that step's K-dims.  Under ``jit`` the
+whole plan compiles to a static chain of XLA reductions; the two-factor K×K
+steps lower to log-space matmuls (see ``alan_tpu.ops``).
+
+``sample_Ks`` replays the reduction list *backwards* to draw joint posterior
+indices over the K-dims (reference ``reduce_Ks.py:35-83``), using
+``jax.random.categorical`` (Gumbel-max) on the conditional log-weights
+instead of torch.multinomial on exponentiated weights — same distribution,
+log-space-stable, and jit-friendly.
+"""
+from __future__ import annotations
+
+import opt_einsum
+import jax
+import jax.numpy as jnp
+
+from .dims import (DT, as_dt, dims_of, logsumexp_dims, unify_dims,
+                   check_unique_dims, dt_index)
+
+
+def logsumexp_sum(Ks_to_sum, *lps) -> DT:
+    """One contraction step: logsumexp over ``Ks_to_sum`` of the sum of
+    factors (reference ``reduce_Ks.py:249-251``)."""
+    total = lps[0]
+    for lp in lps[1:]:
+        total = total + lp
+    return logsumexp_dims(total, tuple(Ks_to_sum), ignore_extra_dims=True)
+
+
+def _plan(lps, Ks_to_sum):
+    """opt_einsum contraction path over the factor shapes (trace-time)."""
+    all_dims = unify_dims(lps)
+    sym = {d: opt_einsum.get_symbol(i) for i, d in enumerate(all_dims)}
+    out = "".join(sym[d] for d in all_dims if d not in set(Ks_to_sum))
+
+    subs, shapes = [], []
+    for lp in lps:
+        lp = as_dt(lp)
+        assert lp.pos_ndim == 0, "contraction factors must have no positional axes"
+        subs.append("".join(sym[d] for d in lp.dims))
+        shapes.append(tuple(lp.data.shape))
+    expr = ",".join(subs) + "->" + out
+    path, _ = opt_einsum.contract_path(expr, *shapes, shapes=True)
+    return path
+
+
+def collect_lps(lps, Ks_to_sum):
+    """Execute the contraction; also return, per step, the factor lists and
+    the K-dims eliminated there (needed for reverse-replay posterior
+    sampling; reference ``reduce_Ks.py:255-298``)."""
+    check_unique_dims(tuple(Ks_to_sum))
+    lps = [as_dt(lp) for lp in lps]
+    set_Ks = set(Ks_to_sum)
+
+    if len(lps) == 1:
+        path = [(0,)]
+    else:
+        path = _plan(lps, Ks_to_sum)
+
+    all_reduced_lps = [[*lps]]
+    Ks_per_step = []
+
+    for lp_idxs in path:
+        lps_to_reduce = tuple(lps[i] for i in lp_idxs)
+        lps = [lps[i] for i in range(len(lps)) if i not in lp_idxs]
+
+        # eliminate the Ks that appear only in this step's factors
+        remaining_dims = set(unify_dims(lps))
+        step_Ks = tuple(set_Ks.difference(remaining_dims)
+                        .intersection(unify_dims(lps_to_reduce)))
+        Ks_per_step.append(step_Ks)
+
+        lps.append(logsumexp_sum(step_Ks, *lps_to_reduce))
+        all_reduced_lps.append([*lps])
+
+    all_reduced_lps = all_reduced_lps[:-1]
+    assert len(lps) == 1
+    result = lps[0]
+
+    # drop steps that eliminated no K-dims
+    keep = [i for i, Ks in enumerate(Ks_per_step) if Ks != ()]
+    all_reduced_lps = [all_reduced_lps[i] for i in keep]
+    Ks_per_step = [Ks_per_step[i] for i in keep]
+    return result, all_reduced_lps, Ks_per_step
+
+
+def reduce_Ks(lps, Ks_to_sum) -> DT:
+    """Sum over ``Ks_to_sum``, returning a single factor
+    (reference ``reduce_Ks.py:236-244``)."""
+    result, _, _ = collect_lps(lps, Ks_to_sum)
+    return result
+
+
+def sample_Ks(lps, Ks_to_sum, N_dim: str, num_samples: int, keygen,
+              indices: dict | None = None) -> dict:
+    """Draw ``num_samples`` joint posterior K-indices by replaying the
+    contraction in reverse (reference ``reduce_Ks.py:35-83``).
+
+    Returns a dict K-dim-name -> integer DT carrying ``N_dim`` (plus plate
+    dims).  ``indices`` carries indices already sampled for other K-dims.
+    """
+    check_unique_dims(tuple(Ks_to_sum))
+    assert set(unify_dims(lps)).issuperset(Ks_to_sum)
+
+    _, lps_for_sampling, Ks_per_step = collect_lps(lps, Ks_to_sum)
+
+    indices = dict(indices or {})
+    for step_lps, kdims in zip(lps_for_sampling[::-1], Ks_per_step[::-1]):
+        lp = step_lps[0]
+        for x in step_lps[1:]:
+            lp = lp + x
+
+        # condition on already-sampled K-dims
+        for dim in [d for d in dims_of(lp) if d in indices]:
+            lp = dt_index(lp, dim, indices[dim])
+
+        o = lp.order(*kdims)                       # dims rest, pos (k1,k2,...)
+        flat = o.data.reshape(o.data.shape[:len(o.dims)] + (-1,))
+        if N_dim in o.dims:
+            # one categorical draw per (N, plates...) cell
+            idx = jax.random.categorical(keygen(), flat, axis=-1)
+            idx_dt = DT(idx, o.dims)
+        else:
+            idx = jax.random.categorical(keygen(), flat, axis=-1,
+                                         shape=(num_samples,) + flat.shape[:-1])
+            idx_dt = DT(idx, (N_dim,) + o.dims)
+
+        sizes = tuple(lp.dim_size(k) for k in kdims)
+        unravelled = jnp.unravel_index(idx_dt.data, sizes)
+        for kdim, u in zip(kdims, unravelled):
+            indices[kdim] = DT(u, idx_dt.dims)
+    return indices
+
+
+def _index_dim_int(x, dim, i: int):
+    """Pick index i along a named dim (drops the dim)."""
+    o = as_dt(x).order(dim)
+    return DT(jax.lax.index_in_dim(o.data, i, axis=len(o.dims), keepdims=False),
+              o.dims)
+
+
+def _categorical_over(lp, kdim, N_dim, num_samples, key):
+    """One categorical draw over `kdim` per remaining cell (adds N_dim if
+    absent)."""
+    o = lp.order(kdim)
+    logits = jnp.moveaxis(o.data, len(o.dims), -1)  # (*rest, K)
+    if N_dim in o.dims:
+        idx = jax.random.categorical(key, logits, axis=-1)
+        return DT(idx, o.dims)
+    idx = jax.random.categorical(key, logits, axis=-1,
+                                 shape=(num_samples,) + logits.shape[:-1])
+    return DT(idx, (N_dim,) + o.dims)
+
+
+def sample_Ks_timeseries(lps, ts_Ks, ts_init_Ks, N_dim, num_samples, T_dim,
+                         indices, keygen):
+    """Joint posterior indices for timeseries K-dims via exact
+    forward-filter / backward-sample over the particle index chain.
+
+    Functional equivalent of reference ``reduce_Ks.py:85-232`` (which
+    implements Briers-style smoothing); here we run textbook FFBS on the
+    [T, Kinit, K] log-weight chain: forward alphas by log-matvec, backward
+    ancestral sampling with ``jax.random.categorical``.
+    """
+    from .dims import rename_dim, bind
+    check_unique_dims(tuple(ts_Ks))
+    _, lps_for_sampling, Ks_per_step = collect_lps(lps, ts_Ks)
+
+    indices = dict(indices)
+    for step_lps, kdims, init_K in zip(lps_for_sampling[::-1], Ks_per_step[::-1],
+                                       ts_init_Ks[::-1]):
+        assert len(kdims) == 1
+        K_dim = kdims[0]
+        lp = step_lps[0]
+        for x in step_lps[1:]:
+            lp = lp + x
+        assert K_dim in dims_of(lp) and T_dim in dims_of(lp) and init_K in dims_of(lp)
+        assert init_K in indices
+
+        # condition on already-sampled ancestor Ks (except the init's, which
+        # enters through alpha_0)
+        for dim in [d for d in dims_of(lp) if d in indices and d != init_K]:
+            lp = dt_index(lp, dim, indices[dim])
+
+        T = lp.dim_size(T_dim)
+
+        # forward filter
+        alpha0 = dt_index(_index_dim_int(lp, T_dim, 0), init_K, indices[init_K])
+        alphas = [alpha0]
+        for t in range(1, T):
+            M_t = _index_dim_int(lp, T_dim, t)           # dims (Kinit, K, ...)
+            prev = rename_dim(alphas[-1], K_dim, init_K)
+            alphas.append(logsumexp_dims(prev + M_t, (init_K,)))
+
+        # backward sample
+        ks = [None] * T
+        ks[T - 1] = _categorical_over(alphas[T - 1], K_dim, N_dim, num_samples,
+                                      keygen())
+        for t in range(T - 2, -1, -1):
+            M_next = _index_dim_int(lp, T_dim, t + 1)
+            M_sel = dt_index(M_next, K_dim, ks[t + 1])   # dims (Kinit, N, ...)
+            logits = alphas[t] + rename_dim(M_sel, init_K, K_dim)
+            ks[t] = _categorical_over(logits, K_dim, N_dim, num_samples, keygen())
+
+        # stack over T: canonical layout
+        ref_dims = ks[0].dims
+        stacked = jnp.stack([k.with_dims_front(ref_dims).data for k in ks], axis=0)
+        indices[K_dim] = DT(stacked, (T_dim,) + ref_dims)
+    return indices
