@@ -35,6 +35,7 @@ __all__ = [
     "mean_dims", "prod_dims", "amax_dims", "amin_dims", "logsumexp_dims",
     "logmeanexp_dims", "sum_pos", "dt_index", "slice_dim", "concat_dim",
     "unify_dims", "check_unique_dims", "detach", "dimsizes_of", "expand_to",
+    "pos_op", "rename_dim",
 ]
 
 Number = (int, float)
@@ -118,8 +119,8 @@ class DT:
     def __rtruediv__(self, o): return elementwise(jnp.divide, o, self)
     def __pow__(self, o): return self._binop(o, jnp.power)
     def __neg__(self): return DT(-self.data, self.dims)
-    def __matmul__(self, o): return elementwise(jnp.matmul, self, o)
-    def __rmatmul__(self, o): return elementwise(jnp.matmul, o, self)
+    def __matmul__(self, o): return pos_op(jnp.matmul, self, o)
+    def __rmatmul__(self, o): return pos_op(jnp.matmul, o, self)
     def __lt__(self, o): return self._binop(o, jnp.less)
     def __le__(self, o): return self._binop(o, jnp.less_equal)
     def __gt__(self, o): return self._binop(o, jnp.greater)
@@ -268,6 +269,24 @@ def align(*xs, extra: Sequence[str] = ()):
             union.append(d)
     dimsizes_of(*dts)  # consistency check
     return [_expand_named(x, union) for x in dts], tuple(union)
+
+
+def pos_op(f, *xs) -> DT:
+    """Apply ``f`` to the *positional* blocks of the operands, vectorised over
+    the union of named dims.  Needed for ops like ``matmul`` whose semantics
+    depend on operand rank (torchdim applies them to positional dims only)."""
+    dts = [as_dt(x) for x in xs]
+    if not any(x.dims for x in dts):
+        return DT(f(*[x.data for x in dts]), ())
+    arrs, union = align(*dts)
+    sizes = [max(a.shape[i] for a in arrs) for i in range(len(union))]
+    full = []
+    for a in arrs:
+        tgt = tuple(sizes) + a.shape[len(union):]
+        full.append(jnp.broadcast_to(a, tgt))
+    flat = [a.reshape((-1,) + a.shape[len(union):]) for a in full]
+    out = jax.vmap(f)(*flat)
+    return DT(out.reshape(tuple(sizes) + out.shape[1:]), union)
 
 
 def elementwise(f, *xs) -> DT:

@@ -53,6 +53,12 @@ class ImportanceSample(AbstractImportanceSample):
             key = jax.random.key(2000)
         keygen = KeyGen(key)
 
+        # thread the N-dim size through the per-dist samplers
+        N_size = next(v.dim_size(self.Ndim)
+                      for v in self.samples_flatdict.values()
+                      if self.Ndim in v.dims)
+        extended_platesizes = {**extended_platesizes, self.Ndim: N_size}
+
         extended_sample = self.problem.P.plate.sample_extended(
             sample=self.samples_tree,
             name=None,

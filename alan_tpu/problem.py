@@ -73,7 +73,7 @@ class Problem:
         return SampleNonMP(problem=self, sample=sample,
                            groupvarname2Kdim=groupvarname2Kdim, reparam=reparam)
 
-    def inputs_params(self):
-        flat = {**self.P.inputs_params_flat_named(),
-                **self.Q.inputs_params_flat_named()}
+    def inputs_params(self, stateP=None, stateQ=None):
+        flat = {**self.P.inputs_params_flat_named(stateP),
+                **self.Q.inputs_params_flat_named(stateQ)}
         return tensordict2tree(self.P.plate, flat)

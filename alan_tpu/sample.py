@@ -23,11 +23,13 @@ from .utils import detach_tree, KeyGen
 
 class Sample:
     def __init__(self, problem, sample: dict, groupvarname2Kdim: dict,
-                 sampler, reparam: bool):
+                 sampler, reparam: bool, states=None):
         self.problem = problem
         self.groupvarname2Kdim = groupvarname2Kdim
         self.sampler = sampler
         self.reparam = reparam
+        # optional (stateP, stateQ) override for pure/jitted training steps
+        self._states = states if states is not None else (None, None)
 
         if reparam:
             self.reparam_sample = sample
@@ -50,7 +52,10 @@ class Sample:
     def _elbo(self, sample, extra_log_factors, computation_strategy):
         if extra_log_factors is None:
             extra_log_factors = {}
-        extra_log_factors = {k: sum_pos(v) for k, v in extra_log_factors.items()}
+        # Re-key with positional string ids: pytree dict keys must be sortable,
+        # and elf keys are only ever used positionally.
+        extra_log_factors = {f"__elf_{i}": sum_pos(v)
+                             for i, v in enumerate(extra_log_factors.values())}
         extra_log_factors = tensordict2tree(self.P.plate, extra_log_factors)
 
         lp, _, _, _ = logPQ_plate(
@@ -58,7 +63,7 @@ class Sample:
             P=self.P.plate,
             Q=self.Q.plate,
             sample=sample,
-            inputs_params=self.problem.inputs_params(),
+            inputs_params=self.problem.inputs_params(*self._states),
             data=self.problem.data,
             extra_log_factors=extra_log_factors,
             scope={},

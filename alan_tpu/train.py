@@ -1,0 +1,163 @@
+"""Fused, jitted training steps — the TPU-native performance path.
+
+The reference trains with an eager per-iteration loop (torch autograd tape:
+``examples/runner.py:124-187``).  JAX has no tape, so sampling and the ELBO
+are fused into one differentiated, jit-compiled function per method:
+
+  * ``vi``  — reparameterised sample; ∇ of the ELBO w.r.t. opt params.
+  * ``rws`` — detached sample; ∇ flows through logP/logQ only (wake-sleep).
+  * ``qem`` — detached sample; posterior sufficient-stat moments via the
+              source-term trick, EMA'd and converted to conventional params.
+
+Each factory returns ``(step, state0)``; ``step(state, key) -> (state, elbo)``
+is a pure function that compiles to a single XLA program (sampling, the
+whole K contraction, backward pass and the optimizer update included).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+try:
+    import optax
+except ImportError:  # pragma: no cover
+    optax = None
+
+from .sample import Sample
+from .sampler import PermutationSampler
+from .split import no_checkpoint
+
+
+def _make_sample(problem, K, reparam, sampler, key, stateP, stateQ,
+                 mesh_plan=None):
+    tree, gv2K = problem.Q._sample(K, reparam, sampler, problem.all_platedims,
+                                   key, state=stateQ)
+    if mesh_plan is not None:
+        tree = mesh_plan.constrain_tree(tree)
+    return Sample(problem, tree, gv2K, sampler, reparam,
+                  states=(stateP, stateQ))
+
+
+def elbo_fn(problem, K, reparam=True, sampler=PermutationSampler,
+            computation_strategy=no_checkpoint, mesh_plan=None):
+    """Pure function ``(stateP, stateQ, key) -> elbo`` fusing sampling and
+    the logPQ contraction.  With a ``MeshPlan``, the sampled particles and
+    data are sharding-constrained so GSPMD distributes the contraction."""
+    def f(stateP, stateQ, key):
+        s = _make_sample(problem, K, reparam, sampler, key, stateP, stateQ,
+                         mesh_plan)
+        sample = s.reparam_sample if reparam else s.detached_sample
+        return s._elbo(sample, None, computation_strategy)
+    return f
+
+
+def _merge_opt(stateP, stateQ):
+    return {"P": stateP["opt"], "Q": stateQ["opt"]}
+
+
+def _split_opt(params, stateP, stateQ):
+    newP = {**stateP, "opt": params["P"]}
+    newQ = {**stateQ, "opt": params["Q"]}
+    return newP, newQ
+
+
+def vi(problem, K: int, lr=0.01, optimizer=None,
+       sampler=PermutationSampler, computation_strategy=no_checkpoint,
+       mesh_plan=None):
+    """Jitted reparameterised-VI step factory."""
+    if optimizer is None:
+        if optax is None:
+            raise RuntimeError("optax unavailable; pass an explicit optimizer")
+        optimizer = optax.adam(lr)
+    f = elbo_fn(problem, K, True, sampler, computation_strategy, mesh_plan)
+
+    def loss(params, stateP, stateQ, key):
+        sP, sQ = _split_opt(params, stateP, stateQ)
+        return -f(sP, sQ, key)
+
+    @jax.jit
+    def step(state, key):
+        stateP, stateQ, opt_state = state
+        params = _merge_opt(stateP, stateQ)
+        neg_elbo, grads = jax.value_and_grad(loss)(params, stateP, stateQ, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        stateP, stateQ = _split_opt(params, stateP, stateQ)
+        return (stateP, stateQ, opt_state), -neg_elbo
+
+    state0 = (problem.P.state(), problem.Q.state(),
+              optimizer.init(_merge_opt(problem.P.state(), problem.Q.state())))
+    return step, state0
+
+
+def rws(problem, K: int, lr=0.01, optimizer=None,
+        sampler=PermutationSampler, computation_strategy=no_checkpoint,
+        mesh_plan=None):
+    """Jitted reweighted-wake-sleep step factory (maximise elbo_rws)."""
+    if optimizer is None:
+        if optax is None:
+            raise RuntimeError("optax unavailable; pass an explicit optimizer")
+        optimizer = optax.adam(lr)
+    f = elbo_fn(problem, K, False, sampler, computation_strategy, mesh_plan)
+
+    def loss(params, stateP, stateQ, key):
+        sP, sQ = _split_opt(params, stateP, stateQ)
+        return -f(sP, sQ, key)
+
+    @jax.jit
+    def step(state, key):
+        stateP, stateQ, opt_state = state
+        params = _merge_opt(stateP, stateQ)
+        neg_elbo, grads = jax.value_and_grad(loss)(params, stateP, stateQ, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        stateP, stateQ = _split_opt(params, stateP, stateQ)
+        return (stateP, stateQ, opt_state), -neg_elbo
+
+    state0 = (problem.P.state(), problem.Q.state(),
+              optimizer.init(_merge_opt(problem.P.state(), problem.Q.state())))
+    return step, state0
+
+
+def qem(problem, K: int, lr=0.1, sampler=PermutationSampler,
+        computation_strategy=no_checkpoint, mesh_plan=None):
+    """Jitted QEM (natural-gradient moment-matching) step factory
+    (reference training loop ``examples/runner.py:178-187`` +
+    ``BoundPlate.py:256-296``, here one fused XLA program per step)."""
+
+    @jax.jit
+    def step(state, key):
+        stateP, stateQ = state
+        s = _make_sample(problem, K, False, sampler, key, stateP, stateQ,
+                         mesh_plan)
+        newP = problem.P._updated_qem_state(lr, s, computation_strategy, state=stateP)
+        newQ = problem.Q._updated_qem_state(lr, s, computation_strategy, state=stateQ)
+        elbo = s._elbo(s.detached_sample, None, computation_strategy)
+        return (newP, newQ), elbo
+
+    state0 = (problem.P.state(), problem.Q.state())
+    return step, state0
+
+
+def fit(problem, method="vi", K=10, iters=100, lr=None, key=None, **kwargs):
+    """Convenience loop: run ``iters`` fused steps, write the final state back
+    into the problem's BoundPlates, return the per-iteration ELBOs."""
+    if key is None:
+        key = jax.random.key(0)
+    defaults = {"vi": 0.01, "rws": 0.01, "qem": 0.1}
+    lr = lr if lr is not None else defaults[method]
+    factory = {"vi": vi, "rws": rws, "qem": qem}[method]
+    step, state = factory(problem, K, lr=lr, **kwargs)
+    elbos = []
+    for i in range(iters):
+        state, elbo = step(state, jax.random.fold_in(key, i))
+        elbos.append(elbo)
+    if method in ("vi", "rws"):
+        stateP, stateQ, _ = state
+    else:
+        stateP, stateQ = state
+    problem.P.set_state(jax.tree.map(lambda x: x, stateP))
+    problem.Q.set_state(jax.tree.map(lambda x: x, stateQ))
+    return jnp.stack(elbos)

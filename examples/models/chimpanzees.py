@@ -1,0 +1,97 @@
+"""Chimpanzees hierarchical logistic regression (parity: reference
+``examples/models/chimpanzees/chimpanzees.py``)."""
+import jax
+import jax.numpy as jnp
+
+from alan_tpu import (Normal, Bernoulli, Plate, BoundPlate, Problem, Data,
+                      Group, QEMParam, OptParam, named)
+
+num_actors, num_blocks = 7, 6
+num_repeats, num_repeats_extended = 10, 12
+
+name = "chimpanzees"
+
+
+def load_data_covariates(key=None, run=0, fake_data=True):
+    if key is None:
+        key = jax.random.key(run)
+    platesizes = {'plate_actors': num_actors, 'plate_blocks': num_blocks,
+                  'plate_repeats': num_repeats}
+    all_platesizes = {'plate_actors': num_actors, 'plate_blocks': num_blocks,
+                      'plate_repeats': num_repeats_extended}
+    names = ('plate_actors', 'plate_blocks', 'plate_repeats')
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    shape = (num_actors, num_blocks, num_repeats_extended)
+    cond = jax.random.bernoulli(k1, 0.5, shape).astype(jnp.float32)
+    pleft = jax.random.bernoulli(k2, 0.5, shape).astype(jnp.float32)
+    all_covariates = {'condition': named(cond, *names),
+                      'prosoc_left': named(pleft, *names)}
+    covariates = {'condition': named(cond[..., :num_repeats], *names),
+                  'prosoc_left': named(pleft[..., :num_repeats], *names)}
+
+    P = get_P(all_platesizes, all_covariates)
+    sample = P.sample(key=k3)
+    obs = sample['obs'].with_dims_front(names)
+    all_data = {'obs': obs}
+    data = {'obs': named(obs.data[..., :num_repeats], *names)}
+    return platesizes, all_platesizes, data, all_data, covariates, all_covariates
+
+
+def get_P(platesizes, covariates):
+    P = Plate(
+        sigma_block=Normal(0., 1.),
+        sigma_actor=Normal(0., 1.),
+        beta_PC=Normal(0., 10.),
+        beta_P=Normal(0., 10.),
+        alpha=Normal(0., 10.),
+        plate_actors=Plate(
+            alpha_actor=Normal(0., lambda sigma_actor: sigma_actor.exp()),
+            plate_blocks=Plate(
+                alpha_block=Normal(0., lambda sigma_block: sigma_block.exp()),
+                plate_repeats=Plate(
+                    obs=Bernoulli(logits=lambda alpha, alpha_block, alpha_actor,
+                                  beta_PC, beta_P, condition, prosoc_left:
+                                  alpha + alpha_actor + alpha_block
+                                  + (beta_P + beta_PC * condition) * prosoc_left),
+                ),
+            ),
+        ),
+    )
+    return BoundPlate(P, platesizes, inputs=covariates)
+
+
+def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
+    import math
+    P = get_P(platesizes, covariates)
+
+    def loc_scale(scale_init=1.0):
+        if Q_param_type == "opt":
+            return (OptParam(0.), OptParam(math.log(scale_init), transformation=jnp.exp))
+        return (QEMParam(0.), QEMParam(scale_init))
+
+    Q = Plate(
+        global_latents=Group(
+            sigma_block=Normal(*loc_scale()),
+            sigma_actor=Normal(*loc_scale()),
+            beta_PC=Normal(*loc_scale(10.)),
+            beta_P=Normal(*loc_scale(10.)),
+            alpha=Normal(*loc_scale(10.)),
+        ),
+        plate_actors=Plate(
+            alpha_actor=Normal(*loc_scale()),
+            plate_blocks=Plate(
+                alpha_block=Normal(*loc_scale()),
+                plate_repeats=Plate(obs=Data()),
+            ),
+        ),
+    )
+    Q = BoundPlate(Q, platesizes, inputs=covariates)
+    return Problem(P, Q, data)
+
+
+def load_and_generate_problem(key=None, Q_param_type="qem", run=0, fake_data=True):
+    platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
+        load_data_covariates(key, run, fake_data)
+    problem = generate_problem(platesizes, data, covariates, Q_param_type)
+    return problem, all_data, all_covariates, all_platesizes

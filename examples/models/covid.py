@@ -1,0 +1,125 @@
+"""COVID NPI model with a Timeseries latent and NegativeBinomial observations
+(parity: reference ``examples/models/covid/covid.py``): nRs regions x nDs
+days, first-order Markov ``log_infected`` chain."""
+import math
+
+import jax
+import jax.numpy as jnp
+
+from alan_tpu import (Normal, NegativeBinomial, Timeseries, Plate, BoundPlate,
+                      Problem, Data, Group, QEMParam, OptParam, named)
+
+nRs = 92
+nDs = 137
+nCMs = 11
+
+name = "covid"
+
+
+def load_data_covariates(key=None, run=0, fake_data=True, nRs=nRs, nDs=nDs):
+    if key is None:
+        key = jax.random.key(run)
+    nDs_train = int(nDs * 0.8)
+    platesizes = {'nRs': nRs, 'nDs': nDs_train}
+    all_platesizes = {'nRs': nRs, 'nDs': nDs}
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    npis = jax.random.bernoulli(k1, 0.3, (nRs, nDs, nCMs - 2)).astype(jnp.float32)
+    wearing = jax.random.uniform(k2, (nRs, nDs))
+    mobility = jax.random.uniform(k3, (nRs, nDs))
+    all_covariates = {
+        'ActiveCMs_NPIs': named(npis, 'nRs', 'nDs'),
+        'ActiveCMs_wearing': named(wearing, 'nRs', 'nDs'),
+        'ActiveCMs_mobility': named(mobility, 'nRs', 'nDs')}
+    covariates = {
+        'ActiveCMs_NPIs': named(npis[:, :nDs_train], 'nRs', 'nDs'),
+        'ActiveCMs_wearing': named(wearing[:, :nDs_train], 'nRs', 'nDs'),
+        'ActiveCMs_mobility': named(mobility[:, :nDs_train], 'nRs', 'nDs')}
+
+    P = get_P(all_platesizes, all_covariates)
+    sample = P.sample(key=k4)
+    obs = sample['obs'].with_dims_front(('nRs', 'nDs'))
+    all_data = {'obs': obs}
+    data = {'obs': named(obs.data[:, :nDs_train], 'nRs', 'nDs')}
+    return platesizes, all_platesizes, data, all_data, covariates, all_covariates
+
+
+def get_P(platesizes, covariates):
+    cm_prior_scale = 1
+    wearing_mean, wearing_sigma = 0, 0.4
+    mobility_mean, mobility_sigma = 1.704, 0.44
+    R_prior_mean_mean, R_prior_mean_scale = 1.07, 0.2
+    R_noise_scale = 0.4
+
+    Expected_Log_Rs = lambda RegionR, CM_alpha, ActiveCMs_NPIs, Wearing_alpha, \
+        ActiveCMs_wearing, Mobility_alpha, ActiveCMs_mobility, prev: \
+        RegionR + CM_alpha @ ActiveCMs_NPIs + Wearing_alpha * ActiveCMs_wearing \
+        + Mobility_alpha * ActiveCMs_mobility + prev
+
+    P = Plate(
+        CM_alpha=Normal(0, cm_prior_scale, sample_shape=[nCMs - 2]),
+        Wearing_alpha=Normal(wearing_mean, wearing_sigma),
+        Mobility_alpha=Normal(mobility_mean, mobility_sigma),
+        RegionR=Normal(R_prior_mean_mean, R_prior_mean_scale + R_noise_scale),
+        InitialSize_log_mean=Normal(math.log(1000), 0.5),
+        log_infected_noise_mean=Normal(math.log(0.01), 0.25),
+        nRs=Plate(
+            InitialSize_log=Normal(lambda InitialSize_log_mean: InitialSize_log_mean, 0.5),
+            log_infected_noise=Normal(lambda log_infected_noise_mean: log_infected_noise_mean, 0.25),
+            psi=Normal(0, 1),
+            nDs=Plate(
+                log_infected=Timeseries('InitialSize_log',
+                                        Normal(Expected_Log_Rs,
+                                               lambda log_infected_noise: log_infected_noise.exp())),
+                obs=NegativeBinomial(
+                    total_count=lambda psi: psi.exp(),
+                    probs=lambda log_infected, psi:
+                    1.0 / ((psi.exp() / log_infected.exp()) + 1 + 1e-7)),
+            ),
+        ),
+    )
+    return BoundPlate(P, platesizes, inputs=covariates)
+
+
+def generate_problem(platesizes, data, covariates, Q_param_type="opt"):
+    P = get_P(platesizes, covariates)
+
+    def loc_scale(shape=None, loc_init=0.0, scale_init=1.0):
+        if Q_param_type == "opt":
+            loc = jnp.full(shape, loc_init) if shape else loc_init
+            ls = jnp.full(shape, math.log(scale_init)) if shape else math.log(scale_init)
+            return (OptParam(loc), OptParam(ls, transformation=jnp.exp))
+        loc = jnp.full(shape, loc_init) if shape else loc_init
+        sc = jnp.full(shape, scale_init) if shape else scale_init
+        return (QEMParam(loc), QEMParam(sc))
+
+    Q = Plate(
+        npis=Group(
+            CM_alpha=Normal(*loc_scale((nCMs - 2,))),
+            Wearing_alpha=Normal(*loc_scale()),
+            Mobility_alpha=Normal(*loc_scale()),
+            RegionR=Normal(*loc_scale(loc_init=1.0)),
+            InitialSize_log_mean=Normal(*loc_scale(loc_init=math.log(1000))),
+            log_infected_noise_mean=Normal(*loc_scale(loc_init=math.log(0.01))),
+        ),
+        nRs=Plate(
+            a=Group(
+                InitialSize_log=Normal(*loc_scale(loc_init=math.log(1000))),
+                log_infected_noise=Normal(*loc_scale(loc_init=math.log(0.01))),
+                psi=Normal(*loc_scale()),
+            ),
+            nDs=Plate(
+                log_infected=Normal(*loc_scale(loc_init=math.log(1000))),
+                obs=Data(),
+            ),
+        ),
+    )
+    Q = BoundPlate(Q, platesizes, inputs=covariates)
+    return Problem(P, Q, data)
+
+
+def load_and_generate_problem(key=None, Q_param_type="opt", run=0, fake_data=True):
+    platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
+        load_data_covariates(key, run, fake_data)
+    problem = generate_problem(platesizes, data, covariates, Q_param_type)
+    return problem, all_data, all_covariates, all_platesizes

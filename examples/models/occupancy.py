@@ -1,0 +1,114 @@
+"""Bird occupancy Binomial/Bernoulli detection model (parity: reference
+``examples/models/occupancy/occupancy.py``)."""
+import jax
+import jax.numpy as jnp
+
+from alan_tpu import (Normal, Bernoulli, Plate, BoundPlate, Problem, Data,
+                      Group, QEMParam, OptParam, named)
+
+M, J, I, Returns = 6, 12, 200, 5
+I_extended = 300
+
+name = "occupancy"
+
+
+def load_data_covariates(key=None, run=0, fake_data=True):
+    if key is None:
+        key = jax.random.key(run)
+    platesizes = {'plate_Years': M, 'plate_Birds': J, 'plate_Ids': I,
+                  'plate_Replicate': Returns}
+    all_platesizes = {'plate_Years': M, 'plate_Birds': J, 'plate_Ids': I_extended,
+                      'plate_Replicate': Returns}
+    names3 = ('plate_Years', 'plate_Birds', 'plate_Ids')
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    weather = jax.random.normal(k1, (M, J, I_extended))
+    quality = jax.random.normal(k2, (M, J, I_extended))
+    all_covariates = {'weather': named(weather, *names3),
+                      'quality': named(quality, *names3)}
+    covariates = {'weather': named(weather[:, :, :I], *names3),
+                  'quality': named(quality[:, :, :I], *names3)}
+
+    P = get_P(all_platesizes, all_covariates)
+    sample = P.sample(key=k3)
+    obs = sample['obs'].with_dims_front((*names3, 'plate_Replicate'))
+    all_data = {'obs': obs}
+    data = {'obs': named(obs.data[:, :, :I, :], *names3, 'plate_Replicate')}
+    return platesizes, all_platesizes, data, all_data, covariates, all_covariates
+
+
+def get_P(platesizes, covariates):
+    P = Plate(
+        bird_mean_mean=Normal(0., 1.),
+        bird_mean_log_var=Normal(0., 1.),
+        alpha_mean=Normal(0., 1.),
+        alpha_log_var=Normal(0., 1.),
+        beta_mean=Normal(0., 1.),
+        beta_log_var=Normal(0., 1.),
+        plate_Birds=Plate(
+            bird_mean=Normal('bird_mean_mean', lambda bird_mean_log_var: bird_mean_log_var.exp()),
+            alpha=Normal('alpha_mean', lambda alpha_log_var: alpha_log_var.exp()),
+            beta=Normal('beta_mean', lambda beta_log_var: beta_log_var.exp()),
+            plate_Years=Plate(
+                bird_year_mean=Normal('bird_mean', 1.),
+                plate_Ids=Plate(
+                    z=Bernoulli(logits=lambda weather, bird_year_mean, beta:
+                                bird_year_mean * weather * beta),
+                    plate_Replicate=Plate(
+                        obs=Bernoulli(logits=lambda alpha, quality, z:
+                                      alpha * quality * z + (1 - z) * (-10)),
+                    ),
+                ),
+            ),
+        ),
+    )
+    return BoundPlate(P, platesizes, inputs=covariates)
+
+
+def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
+    P = get_P(platesizes, covariates)
+
+    def loc_scale():
+        if Q_param_type == "opt":
+            return (OptParam(0.), OptParam(0., transformation=jnp.exp))
+        return (QEMParam(0.), QEMParam(1.))
+
+    def bern():
+        # z is discrete; Q over z is a Bernoulli
+        if Q_param_type == "opt":
+            return Bernoulli(logits=OptParam(0.))
+        return Bernoulli(probs=QEMParam(0.5))
+
+    Q = Plate(
+        global_latents=Group(
+            bird_mean_mean=Normal(*loc_scale()),
+            bird_mean_log_var=Normal(*loc_scale()),
+            alpha_mean=Normal(*loc_scale()),
+            alpha_log_var=Normal(*loc_scale()),
+            beta_mean=Normal(*loc_scale()),
+            beta_log_var=Normal(*loc_scale()),
+        ),
+        plate_Birds=Plate(
+            bird_latents=Group(
+                bird_mean=Normal(*loc_scale()),
+                alpha=Normal(*loc_scale()),
+                beta=Normal(*loc_scale()),
+            ),
+            plate_Years=Plate(
+                bird_year_mean=Normal(*loc_scale()),
+                plate_Ids=Plate(
+                    z=bern(),
+                    plate_Replicate=Plate(obs=Data()),
+                ),
+            ),
+        ),
+    )
+    Q = BoundPlate(Q, platesizes, inputs=covariates)
+    return Problem(P, Q, data)
+
+
+def load_and_generate_problem(key=None, Q_param_type="qem", run=0, fake_data=True):
+    platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
+        load_data_covariates(key, run, fake_data)
+    problem = generate_problem(platesizes, data, covariates, Q_param_type)
+    return problem, all_data, all_covariates, all_platesizes

@@ -1,0 +1,111 @@
+"""Experiment runner — the framework's CLI (parity: reference
+``examples/runner.py`` / ``basic_runner.py``, argparse+json instead of hydra).
+
+    python examples/runner.py --model movielens --method qem --K 30 \
+        --iters 100 --lr 0.1 --predll-N 100
+
+Runs the training grid with the fused jitted step, records per-iteration
+ELBOs and wall-clock (post-sync, mirroring ``runner.py:13-16``), optionally
+evaluates predictive log-likelihood on the extended data, and writes metrics
+to JSON.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "models"))
+
+import jax
+import jax.numpy as jnp
+
+
+def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
+        Q_param_type=None, split=None, seed=0, out=None):
+    from alan_tpu import train, Split, no_checkpoint
+
+    model = __import__(model_name)
+    qtype = Q_param_type or ("opt" if method in ("vi", "rws") else "qem")
+    if method in ("vi", "rws") and qtype == "qem":
+        qtype = "opt"
+    problem, all_data, all_covariates, all_platesizes = \
+        model.load_and_generate_problem(key=jax.random.key(seed), Q_param_type=qtype)
+
+    strategy = Split(*split) if split else no_checkpoint
+    defaults = {"vi": 0.01, "rws": 0.01, "qem": 0.1}
+    lr = lr if lr is not None else defaults[method]
+
+    factory = {"vi": train.vi, "rws": train.rws, "qem": train.qem}[method]
+    step, state = factory(problem, K, lr=lr, computation_strategy=strategy)
+
+    key = jax.random.key(seed + 1)
+    elbos, iter_times = [], []
+    # warm-up / compile
+    t0 = time.time()
+    state, elbo = step(state, jax.random.fold_in(key, 0))
+    jax.block_until_ready(elbo)
+    compile_time = time.time() - t0
+    elbos.append(float(elbo))
+    iter_times.append(0.0)
+
+    for i in range(1, iters):
+        t0 = time.time()
+        state, elbo = step(state, jax.random.fold_in(key, i))
+        jax.block_until_ready(elbo)
+        iter_times.append(time.time() - t0)
+        elbos.append(float(elbo))
+
+    # write trained state back
+    if method in ("vi", "rws"):
+        stateP, stateQ, _ = state
+    else:
+        stateP, stateQ = state
+    problem.P.set_state(stateP)
+    problem.Q.set_state(stateQ)
+
+    result = {
+        "model": model_name, "method": method, "K": K, "lr": lr,
+        "iters": iters, "compile_time_s": compile_time,
+        "mean_iter_time_s": float(jnp.mean(jnp.array(iter_times[1:]))) if iters > 1 else None,
+        "elbo_start": elbos[0], "elbo_end": elbos[-1],
+        "elbos": elbos, "iter_times": iter_times,
+    }
+
+    if predll_N:
+        t0 = time.time()
+        isamp = problem.sample(K=K, reparam=False).importance_sample(N=predll_N)
+        ext = isamp.extend(dict(all_platesizes), extended_inputs=all_covariates)
+        pll = ext.predictive_ll(all_data)
+        result["predictive_ll"] = {k: float(v.data) for k, v in pll.items()}
+        result["predll_time_s"] = time.time() - t0
+
+    if out:
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--method", default="qem", choices=["vi", "rws", "qem"])
+    ap.add_argument("--K", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--predll-N", type=int, default=0)
+    ap.add_argument("--Q-param-type", default=None, choices=[None, "opt", "qem"])
+    ap.add_argument("--split", nargs=2, metavar=("PLATE", "SIZE"), default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    split = (args.split[0], int(args.split[1])) if args.split else None
+    result = run(args.model, args.method, args.K, args.iters, args.lr,
+                 args.predll_N, args.Q_param_type, split, args.seed, args.out)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k not in ("elbos", "iter_times")}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
