@@ -59,10 +59,17 @@ class ImportanceSample(AbstractImportanceSample):
                       if self.Ndim in v.dims)
         extended_platesizes = {**extended_platesizes, self.Ndim: N_size}
 
+        # P's params/inputs must be visible in scope (reference
+        # ``BoundPlate.py:322``); covariates with extended plates are
+        # overridden by extended_inputs via the inputs_params tree.
+        base_scope = {k: v for k, v in
+                      self.problem.P.inputs_params_flat_named().items()
+                      if k not in extended_inputs}
+
         extended_sample = self.problem.P.plate.sample_extended(
             sample=self.samples_tree,
             name=None,
-            scope={},
+            scope=base_scope,
             inputs_params=all_inputs_params,
             original_platedims=self.problem.all_platedims,
             extended_platedims=extended_platesizes,

@@ -1,0 +1,37 @@
+"""HMC and SMC validated against analytic posteriors (the reference only
+wraps external PyMC/BlackJAX baselines; here the samplers are first-class)."""
+import jax
+import numpy as np
+import pytest
+
+import model_linear_gaussian as m
+from alan_tpu.mcmc import run_hmc, log_joint, make_logpost
+from alan_tpu.smc import run_smc
+
+
+def test_hmc_linear_gaussian():
+    samples, diag = run_hmc(m.P, m.data, num_samples=400, num_warmup=400,
+                            num_chains=4, key=jax.random.key(0))
+    a = np.asarray(samples['a'].data)
+    true_sd = (1 / m.post_prec) ** 0.5
+    mcse = a.std() / np.sqrt(200)  # conservative ESS guess
+    assert abs(a.mean() - m.post_mean) < 8 * mcse + 0.05
+    assert abs(a.std() - true_sd) < 0.15
+    assert diag["mean_accept"] > 0.5
+
+
+def test_smc_linear_gaussian_evidence():
+    samples, info = run_smc(m.P, m.data, num_particles=512, mutation_steps=8,
+                            step_size=0.3, key=jax.random.key(1))
+    a = np.asarray(samples['a'].data)
+    assert abs(a.mean() - m.post_mean) < 0.2
+    # evidence estimate close to the analytic log evidence
+    assert abs(info["log_Z"] - m.known_elbo) < 1.0
+    assert info["final_lambda"] == 1.0
+
+
+def test_logpost_finite_grad():
+    logpost, theta0, _, _ = make_logpost(m.P, m.data)
+    v, g = jax.value_and_grad(logpost)(theta0)
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -1,0 +1,42 @@
+"""Non-MP (global single-K) baseline tests: elbo finite, moments sane, and
+consistency with the MP path at large K (reference exercises non-MP via the
+``global_*`` runner methods, ``basic_runner.py:14-15``)."""
+import importlib
+
+import jax
+import numpy as np
+import pytest
+
+from alan_tpu import mean
+from alan_tpu.dims import as_dt
+
+MODELS = ["model_linear_gaussian", "model_bernoulli_no_plate",
+          "model_linear_gaussian_latents"]
+
+
+@pytest.mark.parametrize("name", MODELS)
+def test_nonmp_elbo_and_moments(name):
+    tp = importlib.import_module(name).tp
+    problem = tp.problem
+    s = problem.sample_nonmp(K=1000, key=jax.random.key(0))
+    elbo = float(s.elbo_nograd())
+    assert np.isfinite(elbo)
+    if tp.known_elbo is not None:
+        # IWAE bound is below the evidence but should be in the ballpark
+        assert elbo < tp.known_elbo + 1.0
+        assert elbo > tp.known_elbo - 50.0
+
+    for varnames, m in tp.moments:
+        mom = s._moments(varnames, m)
+        assert np.all(np.isfinite(np.asarray(as_dt(mom).data)))
+
+
+@pytest.mark.parametrize("name", ["model_linear_gaussian"])
+def test_nonmp_importance_sample(name):
+    tp = importlib.import_module(name).tp
+    problem = tp.problem
+    s = problem.sample_nonmp(K=3000, key=jax.random.key(1))
+    isamp = s.importance_sample(N=500, key=jax.random.key(2))
+    mom = isamp._moments('a', mean)
+    true = tp.known_moments[('a', mean)]
+    assert abs(float(as_dt(mom).data) - float(true)) < 0.5

@@ -1,0 +1,76 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4's gap-fill: the reference has no multi-device story at all).
+
+Checks that the fused training step under K-particle x plate sharding
+produces the same ELBO as the unsharded step (same seed => same numbers,
+within float tolerance of collective reduction reordering).
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from alan_tpu import train
+from alan_tpu.parallel.mesh import make_mesh, MeshPlan
+
+
+def _tiny_problem():
+    import jax.numpy as jnp
+    from alan_tpu import Normal, Plate, BoundPlate, Problem, Data, QEMParam, named
+    P = Plate(
+        mu=Normal(0., 1.),
+        plate_1=Plate(
+            z=Normal('mu', 1.),
+            plate_2=Plate(obs=Normal('z', 1.)),
+        ),
+    )
+    Q = Plate(
+        mu=Normal(QEMParam(0.), QEMParam(1.)),
+        plate_1=Plate(
+            z=Normal(QEMParam(0.), QEMParam(1.)),
+            plate_2=Plate(obs=Data()),
+        ),
+    )
+    ps = {'plate_1': 16, 'plate_2': 4}
+    Pb, Qb = BoundPlate(P, ps), BoundPlate(Q, ps)
+    rng = np.random.default_rng(0)
+    data = {'obs': named(jnp.asarray(rng.standard_normal((16, 4)), jnp.float32),
+                         'plate_1', 'plate_2')}
+    return Problem(Pb, Qb, data)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_qem_step_matches_unsharded():
+    problem = _tiny_problem()
+    K = 8
+
+    step_plain, state_plain = train.qem(problem, K, lr=0.1)
+    (sP0, sQ0), elbo_plain = step_plain(state_plain, jax.random.key(0))
+
+    mesh = make_mesh({"k": 2, "p": 4})
+    plan = MeshPlan(mesh, {"plate_1": "p"}).with_all_K("k")
+    step_sh, state_sh = train.qem(problem, K, lr=0.1, mesh_plan=plan)
+    with mesh:
+        (sP1, sQ1), elbo_sh = step_sh(state_sh, jax.random.key(0))
+
+    assert np.isclose(float(elbo_plain), float(elbo_sh), rtol=1e-4, atol=1e-4)
+    for k in sQ0["qem_params"]:
+        a = np.asarray(sQ0["qem_params"][k].data)
+        b = np.asarray(sQ1["qem_params"][k].data)
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-4), k
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_vi_step_matches_unsharded():
+    problem = _tiny_problem()
+    K = 8
+    step_plain, state_plain = train.vi(problem, K, lr=0.01)
+    _, elbo_plain = step_plain(state_plain, jax.random.key(0))
+
+    mesh = make_mesh({"k": 2, "p": 4})
+    plan = MeshPlan(mesh, {"plate_1": "p"}).with_all_K("k")
+    step_sh, state_sh = train.vi(problem, K, lr=0.01, mesh_plan=plan)
+    with mesh:
+        _, elbo_sh = step_sh(state_sh, jax.random.key(0))
+    assert np.isclose(float(elbo_plain), float(elbo_sh), rtol=1e-4, atol=1e-4)
