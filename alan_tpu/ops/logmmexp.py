@@ -23,8 +23,8 @@ def logmmexp(A, B):
     a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
     b_max = jnp.where(jnp.isfinite(b_max), b_max, 0.0)
     C = jnp.einsum("...ij,...jk->...ik", jnp.exp(A - a_max), jnp.exp(B - b_max))
-    eps = jnp.finfo(C.dtype).eps
-    return jnp.log(C + eps) + a_max + b_max
+    tiny = jnp.finfo(C.dtype).tiny
+    return jnp.log(C + tiny) + a_max + b_max
 
 
 def chain_logmmexp(ms):

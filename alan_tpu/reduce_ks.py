@@ -25,9 +25,19 @@ from .dims import (DT, as_dt, dims_of, logsumexp_dims, unify_dims,
                    check_unique_dims, dt_index)
 
 
+import os
+
+_USE_MATMUL_CONTRACT = os.environ.get("ALAN_TPU_NO_MATMUL_CONTRACT") != "1"
+
+
 def logsumexp_sum(Ks_to_sum, *lps) -> DT:
     """One contraction step: logsumexp over ``Ks_to_sum`` of the sum of
-    factors (reference ``reduce_Ks.py:249-251``)."""
+    factors (reference ``reduce_Ks.py:249-251``).  Pairwise steps are
+    reformulated as log-space batched matmuls so they ride the MXU
+    (``alan_tpu.ops.contraction``)."""
+    if _USE_MATMUL_CONTRACT and len(lps) == 2:
+        from .ops.contraction import pairwise_logsumexp_contract
+        return pairwise_logsumexp_contract(lps[0], lps[1], tuple(Ks_to_sum))
     total = lps[0]
     for lp in lps[1:]:
         total = total + lp

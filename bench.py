@@ -74,8 +74,12 @@ def bench_reference_torch():
         ref = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(ref)
 
-        platesizes, all_ps, data, all_data, cov, all_cov = \
-            ref.load_data_covariates("cpu", fake_data=True)
+        # synthesise covariates/data (the reference's fake_data path still
+        # reads covariate files, so build them directly)
+        platesizes = {'plate_1': ref.M, 'plate_2': ref.N}
+        cov = {'x': t.randn(ref.M, ref.N, ref.d_z).rename('plate_1', 'plate_2', None)}
+        P = ref.get_P(platesizes, cov)
+        data = {'obs': P.sample()['obs'].align_to('plate_1', 'plate_2')}
         problem = ref.generate_problem("cpu", platesizes, data, cov, "qem")
 
         # warm-up
