@@ -45,20 +45,21 @@ def logsumexp_sum(Ks_to_sum, *lps) -> DT:
 
 
 def _plan(lps, Ks_to_sum):
-    """opt_einsum contraction path over the factor shapes (trace-time)."""
+    """Contraction path over the factor shapes — trace-time only.  Uses the
+    native bitmask-DP planner (``csrc/pathopt.cpp`` via
+    ``alan_tpu.ops.pathopt``) with an opt_einsum fallback; plans are memoised
+    per program structure."""
+    from .ops.pathopt import plan_path
     all_dims = unify_dims(lps)
-    sym = {d: opt_einsum.get_symbol(i) for i, d in enumerate(all_dims)}
-    out = "".join(sym[d] for d in all_dims if d not in set(Ks_to_sum))
-
-    subs, shapes = [], []
+    factor_dims = []
+    sizes = {}
     for lp in lps:
         lp = as_dt(lp)
         assert lp.pos_ndim == 0, "contraction factors must have no positional axes"
-        subs.append("".join(sym[d] for d in lp.dims))
-        shapes.append(tuple(lp.data.shape))
-    expr = ",".join(subs) + "->" + out
-    path, _ = opt_einsum.contract_path(expr, *shapes, shapes=True)
-    return path
+        factor_dims.append(lp.dims)
+        sizes.update(lp.dimsizes())
+    out_dims = tuple(d for d in all_dims if d not in set(Ks_to_sum))
+    return plan_path(tuple(factor_dims), tuple(sorted(sizes.items())), out_dims)
 
 
 def collect_lps(lps, Ks_to_sum):

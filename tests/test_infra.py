@@ -1,0 +1,72 @@
+"""Infrastructure tests: checkpoint/resume, native path planner, grid
+executor."""
+import os
+import subprocess
+
+import jax
+import numpy as np
+
+import model_model1 as m
+from alan_tpu import train
+from alan_tpu.checkpointing import save_problem, load_problem
+
+
+def test_checkpoint_resume(tmp_path):
+    prob = m.tp.problem
+    train.fit(prob, method="qem", K=5, iters=3)
+    p = str(tmp_path / "ck")
+    save_problem(p, prob, extra={"step": 3})
+
+    prob2 = m.tp.problem
+    extra = load_problem(p, prob2)
+    assert extra == {"step": 3}
+    for k, v in prob.Q.qem_means().items():
+        w = prob2.Q.qem_means()[k]
+        assert v.dims == w.dims
+        assert np.allclose(np.asarray(v.data), np.asarray(w.data))
+
+    # resumed run continues deterministically from the same state
+    # (prob and prob2 share the module-level BoundPlates, so restore the
+    # checkpoint between the two runs)
+    e1 = train.fit(prob, method="qem", K=5, iters=2, key=jax.random.key(9))
+    load_problem(p, prob2)
+    e2 = train.fit(prob2, method="qem", K=5, iters=2, key=jax.random.key(9))
+    assert np.allclose(np.asarray(e1), np.asarray(e2))
+
+
+def test_native_planner_matches_fallback():
+    import alan_tpu.ops.pathopt as po
+    if po._load() is None:
+        import pytest
+        pytest.skip("native planner not built")
+    prob = m.tp.problem
+    s = prob.sample(K=5, key=jax.random.key(3))
+    e1 = float(s.elbo_nograd())
+    po._LIB = None
+    po.plan_path.cache_clear()
+    e2 = float(s.elbo_nograd())
+    po._TRIED = False
+    po._load()
+    assert abs(e1 - e2) < 1e-4
+
+
+def test_grid_executor(tmp_path):
+    exe = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "alan_tpu", "_native", "alan-grid")
+    if not os.path.exists(exe):
+        import pytest
+        pytest.skip("alan-grid not built")
+    cmds = tmp_path / "cmds.txt"
+    out = tmp_path / "out"
+    cmds.write_text(f"true\ntrue\necho hi > {out}\n")
+    status = tmp_path / "status.tsv"
+    r = subprocess.run([exe, "-j", "2", "-t", "30", "-s", str(status), str(cmds)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert out.read_text().strip() == "hi"
+    lines = [l for l in status.read_text().splitlines() if "\tok\t" in l]
+    assert len(lines) == 3
+    # resume: all jobs marked ok are skipped
+    r2 = subprocess.run([exe, "-j", "2", "-s", str(status), str(cmds)],
+                        capture_output=True, text=True)
+    assert r2.returncode == 0
