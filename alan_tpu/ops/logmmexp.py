@@ -12,12 +12,16 @@ import jax
 import jax.numpy as jnp
 
 
-def logmmexp(A, B):
+def logmmexp(A, B, allow_pallas=True):
     """Batched log-space matmul: logsumexp_j(A[..., i, j] + B[..., j, k]).
 
     Max-shifted for stability, with the reference's eps inside the log
     (``utils.py:499-507``).
     """
+    if allow_pallas and A.shape[-1] >= 128 and A.dtype == jnp.float32:
+        from .pallas_logmmexp import have_pallas_tpu, logmmexp_fused
+        if have_pallas_tpu():
+            return logmmexp_fused(A, B)
     a_max = jax.lax.stop_gradient(jnp.max(A, axis=-1, keepdims=True))
     b_max = jax.lax.stop_gradient(jnp.max(B, axis=-2, keepdims=True))
     a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
