@@ -12,6 +12,14 @@ opt_einsum path.
 Decomposition: reduced dims private to one factor are logsumexp'd out first
 (the sum factorises); the shared reduced dims form the matmul contraction;
 remaining shared dims are batch.
+
+Accuracy envelope: the rank-1 shift ``Amax_i + Bmax_j`` upper-bounds the
+joint max, so there is no overflow; accuracy degrades only when the bound is
+loose by more than the f32 exp range (~87 nats), i.e. when the row/col maxes
+misalign catastrophically.  (The reference's own logmmexp uses the same
+shift with an *eps* floor of ~1e-7 — ``utils.py:499-507`` — which degrades
+at a ~16-nat gap; the ``tiny`` floor here extends that to ~87.)  Set
+``ALAN_TPU_NO_MATMUL_CONTRACT=1`` to force the exact joint-max path.
 """
 from __future__ import annotations
 
