@@ -31,6 +31,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import jax
 
+# Persistent compilation cache: TPU compiles go through a slow remote-compile
+# tunnel in this environment (~10 min cold for the fused step); the cache
+# makes warm runs start in seconds.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 K = 30
 N_STEPS = 20
 
