@@ -56,23 +56,26 @@ def pairwise_logsumexp_contract(a, b, Ks) -> DT:
 
     import math
     nb, ni, nj = len(batch), len(i_dims), len(j_dims)
+    batch_shape = a_o.data.shape[:nb]
+    b_size = math.prod(batch_shape) if nb else 1
     i_size = math.prod(a_o.data.shape[nb:nb + ni]) if ni else 1
     j_size = math.prod(b_o.data.shape[nb:nb + nj]) if nj else 1
-    A = a_o.data.reshape(tuple(a_o.data.shape[:nb]) + (i_size, -1))
-    B = b_o.data.reshape(tuple(b_o.data.shape[:nb]) + (j_size, -1))
-    # A: (*batch, I, K); B: (*batch, J, K)
+    # collapse the batch block to ONE axis: dot_general with a single batch
+    # dim compiles and tiles far better than one with many small batch dims.
+    A = a_o.data.reshape((b_size, i_size, -1))
+    B = b_o.data.reshape((b_size, j_size, -1))
 
     a_max = jax.lax.stop_gradient(jnp.max(A, axis=-1, keepdims=True))
     b_max = jax.lax.stop_gradient(jnp.max(B, axis=-1, keepdims=True))
     a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
     b_max = jnp.where(jnp.isfinite(b_max), b_max, 0.0)
 
-    C = jnp.einsum("...ik,...jk->...ij", jnp.exp(A - a_max), jnp.exp(B - b_max),
+    C = jnp.einsum("bik,bjk->bij", jnp.exp(A - a_max), jnp.exp(B - b_max),
                    preferred_element_type=jnp.float32)
     tiny = jnp.finfo(C.dtype).tiny
     out = jnp.log(C + tiny) + a_max + jnp.swapaxes(b_max, -1, -2)
 
     i_shape = a_o.data.shape[nb:nb + ni]
     j_shape = b_o.data.shape[nb:nb + nj]
-    out = out.reshape(tuple(a_o.data.shape[:nb]) + i_shape + j_shape)
+    out = out.reshape(batch_shape + i_shape + j_shape)
     return DT(out, tuple(batch) + tuple(i_dims) + tuple(j_dims))

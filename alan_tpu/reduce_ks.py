@@ -25,19 +25,29 @@ from .dims import (DT, as_dt, dims_of, logsumexp_dims, unify_dims,
                    check_unique_dims, dt_index)
 
 
+import math
 import os
 
 _USE_MATMUL_CONTRACT = os.environ.get("ALAN_TPU_NO_MATMUL_CONTRACT") != "1"
+# Contracted-dim size above which a pairwise step is reformulated as a
+# log-space matmul on the MXU (with the batch block collapsed to one axis —
+# many-small-batch-dim dots are a TPU compile-time pathology).  Tiny
+# contractions stay on the broadcast-add + logsumexp path.
+_MATMUL_MIN_K = int(os.environ.get("ALAN_TPU_MATMUL_MIN_K", "8"))
 
 
 def logsumexp_sum(Ks_to_sum, *lps) -> DT:
     """One contraction step: logsumexp over ``Ks_to_sum`` of the sum of
-    factors (reference ``reduce_Ks.py:249-251``).  Pairwise steps are
-    reformulated as log-space batched matmuls so they ride the MXU
-    (``alan_tpu.ops.contraction``)."""
+    factors (reference ``reduce_Ks.py:249-251``).  Pairwise steps with a
+    large contracted dimension are reformulated as log-space batched matmuls
+    so they ride the MXU (``alan_tpu.ops.contraction``)."""
     if _USE_MATMUL_CONTRACT and len(lps) == 2:
-        from .ops.contraction import pairwise_logsumexp_contract
-        return pairwise_logsumexp_contract(lps[0], lps[1], tuple(Ks_to_sum))
+        a, b = as_dt(lps[0]), as_dt(lps[1])
+        shared = [k for k in Ks_to_sum if k in a.dims and k in b.dims]
+        k_size = math.prod(a.dim_size(k) for k in shared) if shared else 0
+        if k_size >= _MATMUL_MIN_K:
+            from .ops.contraction import pairwise_logsumexp_contract
+            return pairwise_logsumexp_contract(a, b, tuple(Ks_to_sum))
     total = lps[0]
     for lp in lps[1:]:
         total = total + lp
