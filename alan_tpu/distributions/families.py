@@ -855,6 +855,50 @@ class Wishart(Family):
                 - 0.5 * df * d * math.log(2.0) - 0.5 * df * logdet_V - lmg)
 
 
+class LKJCholesky(Family):
+    """Cholesky factor of an LKJ-distributed correlation matrix (onion
+    construction; Lewandowski, Kurowicka & Joe 2009)."""
+    name = "LKJCholesky"
+    args = (("dim", None), ("concentration", 1.0))
+    arg_event_ndim = {"dim": 0, "concentration": 0}
+    event_ndim = 2
+    support = "corr_cholesky"
+
+    @classmethod
+    def sample(cls, key, shape, p):
+        d = shape[-1]
+        eta = jnp.asarray(p["concentration"], jnp.float32)
+        batch = shape[:-2]
+        k1, k2 = jax.random.split(key)
+        # onion method: row i (1-indexed) has a Beta-distributed squared norm
+        L = jnp.zeros(shape, jnp.float32)
+        L = L.at[..., 0, 0].set(1.0)
+        for i in range(1, d):
+            ki = jax.random.fold_in(k1, i)
+            alpha = eta + (d - 1 - i) / 2.0
+            y = jax.random.beta(ki, i / 2.0, jnp.broadcast_to(alpha, batch), batch)
+            u = jax.random.normal(jax.random.fold_in(k2, i), batch + (i,))
+            u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+            w = jnp.sqrt(y)[..., None] * u
+            L = L.at[..., i, :i].set(w)
+            L = L.at[..., i, i].set(jnp.sqrt(jnp.clip(1.0 - y, 1e-12)))
+        return L
+
+    @classmethod
+    def log_prob(cls, x, p):
+        d = x.shape[-1]
+        eta = jnp.asarray(p["concentration"], jnp.float32)
+        diag = jnp.diagonal(x, axis1=-2, axis2=-1)
+        order = jnp.arange(2, d + 1, dtype=jnp.float32)
+        lp = jnp.sum((d - order + 2.0 * eta - 2.0) * jnp.log(diag[..., 1:]), -1)
+        # normalisation (Stan reference manual, lkj_corr_cholesky)
+        alphas = eta + (d - 1.0 - jnp.arange(1, d, dtype=jnp.float32)) / 2.0
+        halves = jnp.arange(1, d, dtype=jnp.float32) / 2.0
+        log_norm = jnp.sum(halves * math.log(math.pi) + jsp.gammaln(alphas)
+                           - jsp.gammaln(alphas + halves))
+        return lp - log_norm
+
+
 FAMILIES = {f.name: f for f in [
     Normal, HalfNormal, Cauchy, HalfCauchy, LogNormal, Uniform, Exponential,
     Gamma, Chi2, Beta, StudentT, Laplace, Gumbel, Kumaraswamy, Pareto, Weibull,
@@ -862,4 +906,5 @@ FAMILIES = {f.name: f for f in [
     Geometric, NegativeBinomial, Categorical, OneHotCategorical, Multinomial,
     Dirichlet, MultivariateNormal, LowRankMultivariateNormal,
     LogitRelaxedBernoulli, RelaxedBernoulli, RelaxedOneHotCategorical, Wishart,
+    LKJCholesky,
 ]}
