@@ -29,11 +29,12 @@ class AbstractImportanceSample:
 
 
 class ImportanceSample(AbstractImportanceSample):
-    def __init__(self, problem, samples_tree, Ndim):
+    def __init__(self, problem, samples_tree, Ndim, states=(None, None)):
         self.problem = problem
         self.samples_tree = samples_tree
         self.samples_flatdict = flatten_tree(samples_tree)
         self.Ndim = Ndim
+        self._states = states
 
     def extend(self, extended_platesizes: dict, extended_inputs=None, key=None):
         """Extend plate sizes and sample the extra latents from the prior
@@ -63,7 +64,7 @@ class ImportanceSample(AbstractImportanceSample):
         # ``BoundPlate.py:322``); covariates with extended plates are
         # overridden by extended_inputs via the inputs_params tree.
         base_scope = {k: v for k, v in
-                      self.problem.P.inputs_params_flat_named().items()
+                      self.problem.P.inputs_params_flat_named(self._states[0]).items()
                       if k not in extended_inputs}
 
         extended_sample = self.problem.P.plate.sample_extended(
@@ -79,18 +80,20 @@ class ImportanceSample(AbstractImportanceSample):
             original_data=self.problem.data,
         )
         return ExtendedImportanceSample(self.problem, extended_sample, self.Ndim,
-                                        extended_platesizes, extended_inputs)
+                                        extended_platesizes, extended_inputs,
+                                        states=self._states)
 
 
 class ExtendedImportanceSample(AbstractImportanceSample):
     def __init__(self, problem, samples_tree, Ndim, extended_platedims,
-                 extended_inputs):
+                 extended_inputs, states=(None, None)):
         self.problem = problem
         self.samples_tree = samples_tree
         self.samples_flatdict = flatten_tree(samples_tree)
         self.Ndim = Ndim
         self.extended_platedims = extended_platedims
         self.extended_inputs = extended_inputs
+        self._states = states
 
     def predictive_ll(self, data: dict):
         """Average predictive log-likelihood of held-out data
@@ -108,10 +111,14 @@ class ExtendedImportanceSample(AbstractImportanceSample):
         all_inputs_params = tensordict2tree(self.problem.P.plate,
                                             dict(self.extended_inputs))
 
+        base_scope = {k: v for k, v in
+                      self.problem.P.inputs_params_flat_named(self._states[0]).items()
+                      if k not in self.extended_inputs}
+
         lls_train, lls_all = self.problem.P.plate.predictive_ll(
             sample=self.samples_tree,
             name=None,
-            scope={},
+            scope=base_scope,
             inputs_params=all_inputs_params,
             original_platedims=self.problem.all_platedims,
             extended_platedims=self.extended_platedims,

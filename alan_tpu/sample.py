@@ -199,7 +199,7 @@ class Sample:
             P=self.P.plate,
             Q=self.Q.plate,
             sample=self.detached_sample,
-            inputs_params=self.problem.inputs_params(),
+            inputs_params=self.problem.inputs_params(*self._states),
             data=self.problem.data,
             extra_log_factors=extra_log_factors,
             scope={},
@@ -222,7 +222,8 @@ class Sample:
         samples = index_into_sample(self.detached_sample, indices,
                                     self.groupvarname2Kdim,
                                     self.problem.Q.plate.varname2groupvarname())
-        return ImportanceSample(self.problem, samples, N_dim)
+        return ImportanceSample(self.problem, samples, N_dim,
+                                states=self._states)
 
     def update_qem_params(self, lr: float, computation_strategy=no_checkpoint):
         self.problem.P._update_qem_params(lr, self, computation_strategy)

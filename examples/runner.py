@@ -74,11 +74,14 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
     }
 
     if predll_N:
+        from alan_tpu.predict import predictive_ll_fn
         t0 = time.time()
-        isamp = problem.sample(K=K, reparam=False).importance_sample(N=predll_N)
-        ext = isamp.extend(dict(all_platesizes), extended_inputs=all_covariates)
-        pll = ext.predictive_ll(all_data)
-        result["predictive_ll"] = {k: float(v.data) for k, v in pll.items()}
+        f = predictive_ll_fn(problem, K=K, N=predll_N,
+                             extended_platesizes=dict(all_platesizes))
+        pll = f(problem.P.state(), problem.Q.state(), all_covariates, all_data,
+                jax.random.key(seed + 2))
+        jax.block_until_ready(pll)
+        result["predictive_ll"] = {k: float(v) for k, v in pll.items()}
         result["predll_time_s"] = time.time() - t0
 
     if out:

@@ -1,0 +1,53 @@
+"""Smoke tests keeping the example models and runner green (tiny configs)."""
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+sys.path.insert(0, os.path.join(EXAMPLES, "models"))
+sys.path.insert(0, EXAMPLES)
+
+
+@pytest.mark.parametrize("name,qtype", [
+    ("movielens", "qem"), ("movielens", "opt"),
+    ("bus_breakdown", "qem"), ("chimpanzees", "opt"),
+    ("radon", "qem"), ("occupancy", "qem"),
+])
+def test_model_elbo(name, qtype):
+    mod = __import__(name)
+    problem, all_data, all_cov, all_ps = mod.load_and_generate_problem(
+        key=jax.random.key(0), Q_param_type=qtype)
+    s = problem.sample(K=3, reparam=False)
+    assert np.isfinite(float(s.elbo_nograd()))
+
+
+def test_covid_timeseries_elbo():
+    import covid
+    # shrink the model for test speed
+    platesizes, all_ps, data, all_data, cov, all_cov = covid.load_data_covariates(
+        key=jax.random.key(0), nRs=4, nDs=16)
+    problem = covid.generate_problem(platesizes, data, cov, "opt")
+    s = problem.sample(K=3, reparam=False)
+    assert np.isfinite(float(s.elbo_nograd()))
+
+
+def test_covid_importance_sample_ffbs():
+    import covid
+    platesizes, all_ps, data, all_data, cov, all_cov = covid.load_data_covariates(
+        key=jax.random.key(0), nRs=3, nDs=10)
+    problem = covid.generate_problem(platesizes, data, cov, "opt")
+    s = problem.sample(K=3, reparam=False)
+    isamp = s.importance_sample(N=5)
+    li = isamp.samples_flatdict["log_infected"]
+    assert set(li.dims) == {"N", "nRs", "nDs"}
+    assert np.all(np.isfinite(np.asarray(li.data)))
+
+
+def test_runner_cli():
+    import runner
+    r = runner.run("movielens", method="qem", K=3, iters=3)
+    assert np.isfinite(r["elbo_end"])
