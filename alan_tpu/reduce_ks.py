@@ -190,7 +190,7 @@ def sample_Ks_timeseries(lps, ts_Ks, ts_init_Ks, N_dim, num_samples, T_dim,
     [T, Kinit, K] log-weight chain: forward alphas by log-matvec, backward
     ancestral sampling with ``jax.random.categorical``.
     """
-    from .dims import rename_dim, bind
+    from .dims import expand_to
     check_unique_dims(tuple(ts_Ks))
     _, lps_for_sampling, Ks_per_step = collect_lps(lps, ts_Ks)
 
@@ -206,32 +206,50 @@ def sample_Ks_timeseries(lps, ts_Ks, ts_init_Ks, N_dim, num_samples, T_dim,
         assert init_K in indices
 
         # condition on already-sampled ancestor Ks (except the init's, which
-        # enters through alpha_0)
+        # enters through alpha_0); these carry N, so `rest` includes N.
         for dim in [d for d in dims_of(lp) if d in indices and d != init_K]:
             lp = dt_index(lp, dim, indices[dim])
+        if N_dim not in dims_of(lp):
+            # no N-dimmed ancestors: tile over the N draws explicitly
+            lp = lp + DT(jnp.zeros((num_samples,)), (N_dim,))
 
-        T = lp.dim_size(T_dim)
+        # canonical raw layout: M[t, *rest, Ki, K]
+        o = lp.order(T_dim, init_K, K_dim)
+        rest = o.dims                                   # includes N_dim
+        M = jnp.moveaxis(o.data, len(rest), 0)          # (T, *rest, Ki, K)
+        T = M.shape[0]
+        K = M.shape[-1]
 
-        # forward filter
-        alpha0 = dt_index(_index_dim_int(lp, T_dim, 0), init_K, indices[init_K])
-        alphas = [alpha0]
-        for t in range(1, T):
-            M_t = _index_dim_int(lp, T_dim, t)           # dims (Kinit, K, ...)
-            prev = rename_dim(alphas[-1], K_dim, init_K)
-            alphas.append(logsumexp_dims(prev + M_t, (init_K,)))
+        init_idx = expand_to(as_dt(indices[init_K]), rest)  # (*rest_or_1)
+        init_idx = jnp.broadcast_to(init_idx, M.shape[1:-2])
 
-        # backward sample
-        ks = [None] * T
-        ks[T - 1] = _categorical_over(alphas[T - 1], K_dim, N_dim, num_samples,
-                                      keygen())
-        for t in range(T - 2, -1, -1):
-            M_next = _index_dim_int(lp, T_dim, t + 1)
-            M_sel = dt_index(M_next, K_dim, ks[t + 1])   # dims (Kinit, N, ...)
-            logits = alphas[t] + rename_dim(M_sel, init_K, K_dim)
-            ks[t] = _categorical_over(logits, K_dim, N_dim, num_samples, keygen())
+        # forward filter: alpha_t[*rest, k]
+        alpha0 = jnp.take_along_axis(M[0], init_idx[..., None, None],
+                                     axis=-2)[..., 0, :]
 
-        # stack over T: canonical layout
-        ref_dims = ks[0].dims
-        stacked = jnp.stack([k.with_dims_front(ref_dims).data for k in ks], axis=0)
-        indices[K_dim] = DT(stacked, (T_dim,) + ref_dims)
+        def fwd(alpha, M_t):
+            nxt = jax.scipy.special.logsumexp(alpha[..., :, None] + M_t, axis=-2)
+            return nxt, nxt
+
+        _, alphas_rest = jax.lax.scan(fwd, alpha0, M[1:])
+        alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)  # (T, *rest, K)
+
+        # backward ancestral sampling
+        k_last = jax.random.categorical(keygen(), alphas[T - 1], axis=-1)
+
+        def bwd(k_next, inp):
+            alpha_t, M_next, key = inp
+            sel = jnp.take_along_axis(M_next, k_next[..., None, None],
+                                      axis=-1)[..., 0]   # (*rest, Ki)
+            k_t = jax.random.categorical(key, alpha_t + sel, axis=-1)
+            return k_t, k_t
+
+        keys = jax.random.split(keygen(), max(T - 1, 1))
+        if T > 1:
+            _, ks_rev = jax.lax.scan(bwd, k_last,
+                                     (alphas[:-1][::-1], M[1:][::-1], keys))
+            ks = jnp.concatenate([ks_rev[::-1], k_last[None]], axis=0)
+        else:
+            ks = k_last[None]
+        indices[K_dim] = DT(ks, (T_dim,) + rest)
     return indices
