@@ -95,26 +95,33 @@ def vi(problem, K: int, lr=0.01, optimizer=None,
 def rws(problem, K: int, lr=0.01, optimizer=None,
         sampler=PermutationSampler, computation_strategy=no_checkpoint,
         mesh_plan=None):
-    """Jitted reweighted-wake-sleep step factory (maximise elbo_rws)."""
+    """Jitted reweighted-wake-sleep step factory.
+
+    Wake-phase P update *ascends* the ELBO; wake-phase Q update *descends* it
+    (equivalently, ascends the importance-weighted log Q) — the reference's
+    maximize=True Adam on P params and maximize=False on Q params
+    (``examples/simple_examples/example.py``)."""
     if optimizer is None:
         if optax is None:
             raise RuntimeError("optax unavailable; pass an explicit optimizer")
         optimizer = optax.adam(lr)
     f = elbo_fn(problem, K, False, sampler, computation_strategy, mesh_plan)
 
-    def loss(params, stateP, stateQ, key):
+    def elbo_of(params, stateP, stateQ, key):
         sP, sQ = _split_opt(params, stateP, stateQ)
-        return -f(sP, sQ, key)
+        return f(sP, sQ, key)
 
     @jax.jit
     def step(state, key):
         stateP, stateQ, opt_state = state
         params = _merge_opt(stateP, stateQ)
-        neg_elbo, grads = jax.value_and_grad(loss)(params, stateP, stateQ, key)
+        elbo, g = jax.value_and_grad(elbo_of)(params, stateP, stateQ, key)
+        # per-branch objective: minimise -elbo for P, minimise +elbo for Q
+        grads = {"P": jax.tree.map(lambda x: -x, g["P"]), "Q": g["Q"]}
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         stateP, stateQ = _split_opt(params, stateP, stateQ)
-        return (stateP, stateQ, opt_state), -neg_elbo
+        return (stateP, stateQ, opt_state), elbo
 
     state0 = (problem.P.state(), problem.Q.state(),
               optimizer.init(_merge_opt(problem.P.state(), problem.Q.state())))

@@ -1,0 +1,71 @@
+"""Training-quality tests: the fused steps actually converge Q to the
+analytic posterior on a conjugate model."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alan_tpu import (Normal, Plate, BoundPlate, Problem, Data, QEMParam,
+                      OptParam, named, train)
+
+prior_mean, prior_scale = 2.0, 2.0
+like_scale = 3.0
+N = 10
+
+
+def _problem(qtype):
+    rng = np.random.default_rng(42)
+    data_np = 1.5 + rng.standard_normal(N).astype(np.float32)
+    prior_prec = 1 / prior_scale**2
+    like_prec = 1 / like_scale**2
+    post_prec = prior_prec + N * like_prec
+    post_mean = (prior_prec * prior_mean + like_prec * data_np.sum()) / post_prec
+
+    P = Plate(
+        a=Normal(prior_mean, prior_scale),
+        T=Plate(d=Normal('a', like_scale)),
+    )
+    if qtype == "qem":
+        Q = Plate(
+            a=Normal(QEMParam(0.), QEMParam(4.)),
+            T=Plate(d=Data()),
+        )
+    else:
+        Q = Plate(
+            a=Normal(OptParam(0.), OptParam(jnp.log(4.), transformation=jnp.exp)),
+            T=Plate(d=Data()),
+        )
+    Pb = BoundPlate(P, {'T': N})
+    Qb = BoundPlate(Q, {'T': N}, )
+    prob = Problem(Pb, Qb, {'d': named(jnp.asarray(data_np), 'T')})
+    return prob, post_mean, 1 / np.sqrt(post_prec)
+
+
+def test_qem_converges_to_posterior():
+    prob, post_mean, post_sd = _problem("qem")
+    train.fit(prob, method="qem", K=100, iters=150, lr=0.3)
+    q = prob.Q.qem_params()
+    assert abs(float(q["a_loc"].data) - post_mean) < 0.1
+    assert abs(float(q["a_scale"].data) - post_sd) < 0.12
+
+
+def test_vi_converges_to_posterior():
+    # K=1 MP-ELBO == classic ELBO, whose optimum on a conjugate model is the
+    # exact posterior.  (At larger K the MP bound tightens toward log Z and
+    # Q-gradients weaken — the IWAE SNR effect — so Q needn't match the
+    # posterior; that regime is covered by the elbo-improvement check.)
+    prob, post_mean, post_sd = _problem("opt")
+    train.fit(prob, method="vi", K=1, iters=1500, lr=0.05)
+    q = prob.Q.opt_params()
+    assert abs(float(q["a_loc"].data) - post_mean) < 0.2
+    assert abs(float(q["a_scale"].data) - post_sd) < 0.2
+
+
+def test_rws_converges_to_posterior():
+    # wake-phase Q update: importance-weighted logQ ascent pulls Q onto the
+    # posterior even at K=30
+    prob, post_mean, post_sd = _problem("opt")
+    train.fit(prob, method="rws", K=30, iters=400, lr=0.05)
+    q = prob.Q.opt_params()
+    assert abs(float(q["a_loc"].data) - post_mean) < 0.2
+    assert abs(float(q["a_scale"].data) - post_sd) < 0.2
