@@ -1,0 +1,98 @@
+"""Secondary benchmarks: throughput vs K, and sharding scaling on the
+virtual mesh.  Writes results to ``BENCH_DETAIL.json`` (the headline driver
+metric stays in ``bench.py``).
+
+  python bench_scaling.py            # K sweep on the default backend
+  python bench_scaling.py --mesh     # sharded-vs-unsharded on 8 CPU devices
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "examples", "models"))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def time_step(step, state, n=10):
+    state, elbo = step(state, jax.random.key(0))
+    jax.block_until_ready(elbo)
+    t0 = time.perf_counter()
+    for i in range(1, n + 1):
+        state, elbo = step(state, jax.random.key(i))
+    jax.block_until_ready(elbo)
+    return (time.perf_counter() - t0) / n, float(elbo)
+
+
+def k_sweep(Ks=(10, 30, 100, 300, 1000)):
+    import movielens
+    from alan_tpu import train
+    with jax.default_device(jax.devices("cpu")[0]):
+        problem, _, _, _ = movielens.load_and_generate_problem(
+            key=jax.random.key(0), Q_param_type="qem")
+    out = {}
+    for K in Ks:
+        step, state = train.qem(problem, K, lr=0.1)
+        dt, elbo = time_step(step, state)
+        out[str(K)] = {"step_s": dt,
+                       "samples_per_s": K * (2 + movielens.M) / dt,
+                       "elbo": elbo}
+        print(f"K={K:5d}: {dt*1e3:8.2f} ms/step  "
+              f"{out[str(K)]['samples_per_s']:.3e} samples/s")
+    return out
+
+
+def mesh_scaling(K=64):
+    jax.config.update("jax_platforms", "cpu")
+    import movielens
+    from alan_tpu import train
+    from alan_tpu.parallel.mesh import make_mesh, MeshPlan
+    n = len(jax.devices())
+    platesizes, all_ps, data, all_data, cov, all_cov = \
+        movielens.load_data_covariates(key=jax.random.key(0), M=256, N=4)
+    problem = movielens.generate_problem(platesizes, data, cov, "qem")
+
+    out = {}
+    step, state = train.qem(problem, K, lr=0.1)
+    dt, _ = time_step(step, state, n=5)
+    out["1dev"] = dt
+    for p in [2, 4, 8]:
+        if p > n:
+            continue
+        mesh = make_mesh({"p": p})
+        plan = MeshPlan(mesh, {"plate_1": "p"})
+        step, state = train.qem(problem, K, lr=0.1, mesh_plan=plan)
+        with mesh:
+            dt, _ = time_step(step, state, n=5)
+        out[f"{p}dev"] = dt
+        print(f"devices={p}: {dt*1e3:.1f} ms/step (1dev {out['1dev']*1e3:.1f})")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", action="store_true")
+    args = ap.parse_args()
+    result = {"mesh": mesh_scaling()} if args.mesh else {"k_sweep": k_sweep()}
+    path = "BENCH_DETAIL.json"
+    prev = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+    prev.update(result)
+    with open(path, "w") as f:
+        json.dump(prev, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

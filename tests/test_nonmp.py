@@ -40,3 +40,29 @@ def test_nonmp_importance_sample(name):
     mom = isamp._moments('a', mean)
     true = tp.known_moments[('a', mean)]
     assert abs(float(as_dt(mom).data) - float(true)) < 0.5
+
+
+def test_joint_marginals_and_cov():
+    """Joint marginals over grouped K-dims + covariance moments
+    (reference Sample.marginals(joints=...) path)."""
+    import jax.numpy as jnp
+    from alan_tpu import Normal, Plate, BoundPlate, Problem, Data, named, cov_x
+    from alan_tpu.moments import RawMoment
+    import model_linear_gaussian_two_params as m2
+
+    tp = m2.tp
+    sample = tp.problem.sample(K=100, reparam=False, key=jax.random.key(7))
+    marg = sample.marginals(joints=[("a", "b")])
+    assert frozenset(["a", "b"]) in marg.weights
+    # E[a*b] from the joint marginal
+    prod = RawMoment(lambda a, b: a * b)
+    eab = marg._moments(("a", "b"), prod)
+    ea = marg._moments("a", as_dt_mean())
+    eb = marg._moments("b", as_dt_mean())
+    cov = float(eab.data) - float(ea.data) * float(eb.data)
+    assert np.isfinite(cov)
+
+
+def as_dt_mean():
+    from alan_tpu import mean
+    return mean
