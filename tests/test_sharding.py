@@ -74,3 +74,19 @@ def test_sharded_vi_step_matches_unsharded():
     with mesh:
         _, elbo_sh = step_sh(state_sh, jax.random.key(0))
     assert np.isclose(float(elbo_plain), float(elbo_sh), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sequence_sharded_chain_matches():
+    """T-sharded timeseries chain == unsharded chain (SP story)."""
+    import jax.numpy as jnp
+    from alan_tpu.ops.logmmexp import chain_logmmexp
+    from alan_tpu.parallel.seq import chain_logmmexp_sharded
+    from alan_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    ms = jnp.asarray(rng.standard_normal((2, 32, 8, 8)), jnp.float32)
+    ref = chain_logmmexp(ms)
+    mesh = make_mesh({"t": 8})
+    out = chain_logmmexp_sharded(ms, mesh, "t")
+    assert np.allclose(np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-4)
