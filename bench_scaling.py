@@ -33,21 +33,51 @@ def time_step(step, state, n=10):
     return (time.perf_counter() - t0) / n, float(elbo)
 
 
-def k_sweep(Ks=(10, 30, 100, 300, 1000)):
+def _grouped_movielens():
+    """movielens with mu_z/psi_z grouped: cuts the z-factor from
+    K^3 x plate to K^2 x plate (the reference Group rationale,
+    ``Group.py:13-45``), enabling K >= 300."""
+    import jax.numpy as jnp
+    import movielens
+    from alan_tpu import (Normal, Bernoulli, Plate, BoundPlate, Problem, Data,
+                          QEMParam, Group)
+    platesizes, all_ps, data, all_data, cov, all_cov = \
+        movielens.load_data_covariates(key=jax.random.key(0))
+    d_z = movielens.d_z
+    P = movielens.get_P(platesizes, cov)
+    Q = Plate(
+        g=Group(
+            mu_z=Normal(QEMParam(jnp.zeros(d_z)), QEMParam(jnp.ones(d_z))),
+            psi_z=Normal(QEMParam(jnp.zeros(d_z)), QEMParam(jnp.ones(d_z))),
+        ),
+        plate_1=Plate(
+            z=Normal(QEMParam(jnp.zeros(d_z)), QEMParam(jnp.ones(d_z))),
+            plate_2=Plate(obs=Data()),
+        ),
+    )
+    Q = BoundPlate(Q, platesizes, inputs=cov)
+    return Problem(P, Q, data)
+
+
+def k_sweep(Ks=(10, 30, 100), grouped_Ks=(100, 300, 1000)):
     import movielens
     from alan_tpu import train
     with jax.default_device(jax.devices("cpu")[0]):
         problem, _, _, _ = movielens.load_and_generate_problem(
             key=jax.random.key(0), Q_param_type="qem")
+        grouped = _grouped_movielens()
     out = {}
-    for K in Ks:
-        step, state = train.qem(problem, K, lr=0.1)
-        dt, elbo = time_step(step, state)
-        out[str(K)] = {"step_s": dt,
-                       "samples_per_s": K * (2 + movielens.M) / dt,
-                       "elbo": elbo}
-        print(f"K={K:5d}: {dt*1e3:8.2f} ms/step  "
-              f"{out[str(K)]['samples_per_s']:.3e} samples/s")
+    for tag, prob, ks in [("ungrouped", problem, Ks),
+                          ("grouped", grouped, grouped_Ks)]:
+        for K in ks:
+            step, state = train.qem(prob, K, lr=0.1)
+            dt, elbo = time_step(step, state)
+            out[f"{tag}_K{K}"] = {"step_s": dt,
+                                  "samples_per_s": K * (2 + movielens.M) / dt,
+                                  "elbo": elbo}
+            print(f"{tag} K={K:5d}: {dt*1e3:8.2f} ms/step  "
+                  f"{out[f'{tag}_K{K}']['samples_per_s']:.3e} samples/s",
+                  flush=True)
     return out
 
 
