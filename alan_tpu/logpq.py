@@ -40,18 +40,99 @@ def logPQ_plate(name: Optional[str], P: Plate, Q: Plate, sample: dict,
 
     use_remat = computation_strategy is checkpoint
 
+    statics = dict(
+        name=name, P=P, Q=Q, scope=scope,
+        active_platedims=active_platedims,
+        groupvarname2Kdim=groupvarname2Kdim,
+        varname2groupvarname=varname2groupvarname,
+        sampler=sampler, computation_strategy=computation_strategy)
+
+    if len(siedas) > 2 and _equal_chunks(siedas, name):
+        # All full-size chunks ride one lax.scan (program size O(1) in the
+        # number of chunks); a remainder chunk is handled separately.
+        full, remainder = _group_chunks(siedas, name)
+        lpq = _scan_chunks(full, statics)
+        for sieda in remainder:
+            lpq = _logPQ_plate_maybe_remat(use_remat, prev_lpq=lpq,
+                                           **statics, **sieda)
+        return lpq, (), (), ()
+
     lpq = None
     for sieda in siedas:
-        lpq = _logPQ_plate_maybe_remat(
-            use_remat,
-            name=name, P=P, Q=Q, scope=scope,
-            active_platedims=active_platedims,
-            groupvarname2Kdim=groupvarname2Kdim,
-            varname2groupvarname=varname2groupvarname,
-            sampler=sampler, computation_strategy=computation_strategy,
-            prev_lpq=lpq, **sieda)
+        lpq = _logPQ_plate_maybe_remat(use_remat, prev_lpq=lpq,
+                                       **statics, **sieda)
     assert lpq is not None
     return lpq, (), (), ()
+
+
+def _equal_chunks(siedas, name):
+    if name is None:
+        return False
+    sizes = [s["all_platedims"].get(name) for s in siedas]
+    # any timeseries in the plate forbids Split anyway (checked upstream)
+    return len(set(sizes[:-1])) == 1 and sizes[0] is not None
+
+
+def _group_chunks(siedas, name):
+    size0 = siedas[0]["all_platedims"][name]
+    full = [s for s in siedas if s["all_platedims"][name] == size0]
+    rem = [s for s in siedas if s["all_platedims"][name] != size0]
+    return full, rem
+
+
+def _scan_chunks(siedas, statics):
+    """Stack the per-chunk trees on a leading scan axis and accumulate the
+    plate-summed lp over chunks with one lax.scan."""
+    import jax.numpy as jnp
+    from jax import tree_util
+
+    def _strip(tree):
+        # DT -> raw data; remember dims structure separately
+        if isinstance(tree, dict):
+            return {k: _strip(v) for k, v in tree.items()}
+        if isinstance(tree, DT):
+            return tree.data
+        return tree
+
+    def _dims_tree(tree):
+        if isinstance(tree, dict):
+            return {k: _dims_tree(v) for k, v in tree.items()}
+        if isinstance(tree, DT):
+            return tree.dims
+        return None
+
+    def _rebuild(data_tree, dims_tree):
+        if isinstance(data_tree, dict):
+            return {k: _rebuild(v, dims_tree[k]) for k, v in data_tree.items()}
+        if dims_tree is not None:
+            return DT(data_tree, dims_tree)
+        return data_tree
+
+    keys = ("sample", "inputs_params", "extra_log_factors", "data")
+    dims_trees = {k: _dims_tree(siedas[0][k]) for k in keys}
+    stacked = {}
+    for k in keys:
+        chunks = [_strip(s[k]) for s in siedas]
+        stacked[k] = tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *chunks)
+    platedims = siedas[0]["all_platedims"]
+
+    # run chunk 0 outside the scan to get the carry structure
+    first = {k: _rebuild(tree_util.tree_map(lambda x: x[0], stacked[k]),
+                         dims_trees[k]) for k in keys}
+    lp0 = _logPQ_plate(**statics, **first, all_platedims=platedims,
+                       prev_lpq=None)
+    rest = {k: tree_util.tree_map(lambda x: x[1:], stacked[k]) for k in keys}
+
+    def scan_body(carry, xs):
+        trees = {k: _rebuild(xs[k], dims_trees[k]) for k in keys}
+        lp = _logPQ_plate(**statics, **trees, all_platedims=platedims,
+                          prev_lpq=None)
+        # chunk lps share dims; keep the carry layout stable
+        out = DT(carry.data + lp.with_dims_front(carry.dims).data, carry.dims)
+        return out, None
+
+    lpq, _ = jax.lax.scan(scan_body, lp0, rest)
+    return lpq
 
 
 def _logPQ_plate_maybe_remat(use_remat, *, name, P, Q, sample, inputs_params,
