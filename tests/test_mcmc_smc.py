@@ -35,3 +35,16 @@ def test_logpost_finite_grad():
     v, g = jax.value_and_grad(logpost)(theta0)
     assert np.isfinite(float(v))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_nuts_linear_gaussian():
+    from alan_tpu.nuts import run_nuts
+    samples, diag = run_nuts(m.P, m.data, num_samples=400, num_warmup=400,
+                             num_chains=4, max_depth=6, key=jax.random.key(3))
+    a = np.asarray(samples['a'].data)
+    true_sd = (1 / m.post_prec) ** 0.5
+    assert abs(a.mean() - m.post_mean) < 0.1
+    assert abs(a.std() - true_sd) < 0.1
+    assert diag["mean_accept"] > 0.6
+    # chains agree
+    assert np.abs(a.mean(axis=0) - a.mean()).max() < 0.25
