@@ -73,6 +73,11 @@ class Problem:
         return SampleNonMP(problem=self, sample=sample,
                            groupvarname2Kdim=groupvarname2Kdim, reparam=reparam)
 
+    def to(self, device=None):
+        """Compatibility no-op (reference ``problem.to(device)``): JAX manages
+        placement; see docs/migration.md."""
+        return self
+
     def inputs_params(self, stateP=None, stateQ=None):
         flat = {**self.P.inputs_params_flat_named(stateP),
                 **self.Q.inputs_params_flat_named(stateQ)}

@@ -15,8 +15,6 @@ whole K contraction, backward pass and the optimizer update included).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -165,6 +163,6 @@ def fit(problem, method="vi", K=10, iters=100, lr=None, key=None, **kwargs):
         stateP, stateQ, _ = state
     else:
         stateP, stateQ = state
-    problem.P.set_state(jax.tree.map(lambda x: x, stateP))
-    problem.Q.set_state(jax.tree.map(lambda x: x, stateQ))
+    problem.P.set_state(stateP)
+    problem.Q.set_state(stateQ)
     return jnp.stack(elbos)

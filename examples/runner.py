@@ -92,6 +92,7 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     ap.add_argument("--model", required=True)
     ap.add_argument("--method", default="qem", choices=["vi", "rws", "qem"])
     ap.add_argument("--K", type=int, default=30)
@@ -103,6 +104,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
     split = (args.split[0], int(args.split[1])) if args.split else None
     result = run(args.model, args.method, args.K, args.iters, args.lr,
                  args.predll_N, args.Q_param_type, split, args.seed, args.out)

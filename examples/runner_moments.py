@@ -68,6 +68,7 @@ def run(model_name, K=30, iters=50, hmc_samples=500, hmc_warmup=500, seed=0,
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     ap.add_argument("--model", required=True)
     ap.add_argument("--K", type=int, default=30)
     ap.add_argument("--iters", type=int, default=50)
@@ -75,6 +76,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     a = ap.parse_args()
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
     r = run(a.model, a.K, a.iters, a.hmc_samples, seed=a.seed, out=a.out)
     print(json.dumps(r, indent=1, default=str))
 

@@ -68,12 +68,15 @@ def run(model_name, Ks, runs=4, seed=0, hmc_samples=1000, out=None):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     ap.add_argument("--model", required=True)
     ap.add_argument("--Ks", nargs="+", type=int, default=[10, 30, 100, 1000])
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     a = ap.parse_args()
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
     r = run(a.model, a.Ks, a.runs, a.seed, out=a.out)
     print(json.dumps(r, indent=1, default=str))
 
