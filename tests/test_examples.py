@@ -51,3 +51,29 @@ def test_runner_cli():
     import runner
     r = runner.run("movielens", method="qem", K=3, iters=3)
     assert np.isfinite(r["elbo_end"])
+
+
+def test_timeseries_proposal_in_Q():
+    """Q may itself contain a Timeseries proposal (reference checking.py:90-96)."""
+    import jax.numpy as jnp
+    from alan_tpu import Normal, Plate, BoundPlate, Problem, Timeseries, Data, named
+    P = Plate(
+        init=Normal(0., 1.),
+        T=Plate(
+            ts=Timeseries('init', Normal(lambda prev: 0.9 * prev, 0.1)),
+            obs=Normal('ts', 1.),
+        ),
+    )
+    Q = Plate(
+        init=Normal(0., 1.),
+        T=Plate(
+            ts=Timeseries('init', Normal(lambda prev: 0.9 * prev, 0.2)),
+            obs=Data(),
+        ),
+    )
+    bP, bQ = BoundPlate(P, {'T': 5}), BoundPlate(Q, {'T': 5})
+    data = {'obs': named(jnp.asarray(np.random.default_rng(0).standard_normal(5),
+                                     jnp.float32), 'T')}
+    prob = Problem(bP, bQ, data)
+    s = prob.sample(K=4, reparam=True, key=jax.random.key(0))
+    assert np.isfinite(float(s.elbo_vi()))
