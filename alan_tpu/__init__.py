@@ -26,6 +26,10 @@ from .split import Split, no_checkpoint, checkpoint
 from .ir.dist import _dist_calls as _dc
 globals().update(_dc)
 
+# subsystem modules (alan_tpu.train.vi, alan_tpu.nuts.run_nuts, ...)
+from . import train, predict, checkpointing, profiling, diagnostics  # noqa: E402
+from . import mcmc, nuts, smc  # noqa: E402
+
 __all__ = [
     "DT", "dt", "named", "Plate", "BoundPlate", "Problem", "Group", "Data",
     "Timeseries", "OptParam", "QEMParam", "new_dist", "Sampler",
