@@ -69,3 +69,22 @@ def test_rws_converges_to_posterior():
     q = prob.Q.opt_params()
     assert abs(float(q["a_loc"].data) - post_mean) < 0.2
     assert abs(float(q["a_scale"].data) - post_sd) < 0.2
+
+
+def test_jitted_predictive_pipeline_matches_eager():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                    "examples", "models"))
+    import movielens
+    from alan_tpu.predict import predictive_ll_fn
+    platesizes, all_ps, data, all_data, cov, all_cov = \
+        movielens.load_data_covariates(key=jax.random.key(0), M=16, N=2)
+    problem = movielens.generate_problem(platesizes, data, cov, "qem")
+    f = predictive_ll_fn(problem, K=5, N=50, extended_platesizes=all_ps)
+    out = f(problem.P.state(), problem.Q.state(), all_cov, all_data,
+            jax.random.key(3))
+    assert np.isfinite(float(out["obs"]))
+    # same seed -> deterministic
+    out2 = f(problem.P.state(), problem.Q.state(), all_cov, all_data,
+             jax.random.key(3))
+    assert float(out["obs"]) == float(out2["obs"])
