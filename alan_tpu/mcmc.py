@@ -232,14 +232,16 @@ def run_hmc(P: BoundPlate, data: dict, num_samples=1000, num_warmup=1000,
         log_eps = mu - jnp.sqrt(i + 1.0) / 0.05 * h_bar
         w = (i + 1.0) ** -0.75
         log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
-        # Welford for mass
+        # batched Welford over all chain observations (Chan et al.)
         n, mean_, m2 = welford
         x = theta.reshape(-1, D)
-        for_mean = jnp.mean(x, 0)
-        n1 = n + 1
-        delta = for_mean - mean_
-        mean_ = mean_ + delta / n1
-        m2 = m2 + delta * (for_mean - mean_)
+        m_obs = x.shape[0]
+        bmean = jnp.mean(x, 0)
+        bm2 = jnp.sum((x - bmean) ** 2, 0)
+        n1 = n + m_obs
+        delta = bmean - mean_
+        mean_ = mean_ + delta * (m_obs / n1)
+        m2 = m2 + bm2 + delta ** 2 * (n * m_obs / n1)
         return (theta, log_eps, log_eps_bar, h_bar, (n1, mean_, m2)), None
 
     inv_mass0 = jnp.ones(D)

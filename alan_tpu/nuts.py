@@ -210,11 +210,14 @@ def run_nuts(P, data, num_samples=1000, num_warmup=1000, num_chains=4,
         log_eps = mu - jnp.sqrt(i + 1.0) / 0.05 * h_bar
         w = (i + 1.0) ** -0.75
         log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
-        x = jnp.mean(th.reshape(-1, D), 0)
-        n1 = n + 1
-        delta = x - mean_
-        mean_ = mean_ + delta / n1
-        m2 = m2 + delta * (x - mean_)
+        x = th.reshape(-1, D)
+        m_obs = x.shape[0]
+        bmean = jnp.mean(x, 0)
+        bm2 = jnp.sum((x - bmean) ** 2, 0)
+        n1 = n + m_obs
+        delta = bmean - mean_
+        mean_ = mean_ + delta * (m_obs / n1)
+        m2 = m2 + bm2 + delta ** 2 * (n * m_obs / n1)
         return (th, log_eps, log_eps_bar, h_bar, (n1, mean_, m2)), None
 
     welford0 = (0.0, jnp.zeros(D), jnp.zeros(D))
