@@ -88,3 +88,58 @@ def test_jitted_predictive_pipeline_matches_eager():
     out2 = f(problem.P.state(), problem.Q.state(), all_cov, all_data,
              jax.random.key(3))
     assert float(out["obs"]) == float(out2["obs"])
+
+
+def test_qem_multivariate_normal():
+    """QEM with a MultivariateNormal proposal (MVN conversions path)."""
+    from alan_tpu import MultivariateNormal, Data, Plate, BoundPlate, Problem
+    import jax.numpy as jnp
+    F = 2
+    rng = np.random.default_rng(3)
+    prior_cov = jnp.eye(F) * 2.0
+    like_cov = jnp.eye(F)
+    d = jnp.asarray(rng.standard_normal(F), jnp.float32)
+    P = Plate(
+        a=MultivariateNormal(jnp.zeros(F), prior_cov),
+        d=MultivariateNormal('a', like_cov),
+    )
+    Q = Plate(
+        a=MultivariateNormal(QEMParam(jnp.zeros(F)),
+                             QEMParam(jnp.eye(F) * 3.0)),
+        d=Data(),
+    )
+    prob = Problem(BoundPlate(P, {}), BoundPlate(Q, {}), {'d': d})
+    train.fit(prob, method="qem", K=300, iters=80, lr=0.4)
+    q = prob.Q.qem_params()
+    post_cov = np.linalg.inv(np.linalg.inv(np.asarray(prior_cov))
+                             + np.linalg.inv(np.asarray(like_cov)))
+    post_mean = post_cov @ np.linalg.inv(np.asarray(like_cov)) @ np.asarray(d)
+    assert np.allclose(np.asarray(q['a_loc'].data), post_mean, atol=0.25)
+    assert np.allclose(np.asarray(q['a_covariance_matrix'].data), post_cov,
+                       atol=0.4)
+
+
+def test_qem_gamma_conjugate():
+    """QEM with a Gamma proposal on a Gamma-Poisson conjugate model (Minka
+    generalised-Newton mean2conv path)."""
+    from alan_tpu import Gamma, Poisson, Data, Plate, BoundPlate, Problem
+    import jax.numpy as jnp
+    a0, b0 = 3.0, 1.0
+    counts = np.array([2., 4., 3., 5., 1., 2., 6., 3., 2., 4.], np.float32)
+    N = len(counts)
+    P = Plate(
+        rate=Gamma(a0, b0),
+        T=Plate(obs=Poisson('rate')),
+    )
+    Q = Plate(
+        rate=Gamma(QEMParam(2.0), QEMParam(1.0)),
+        T=Plate(obs=Data()),
+    )
+    prob = Problem(BoundPlate(P, {'T': N}), BoundPlate(Q, {'T': N}),
+                   {'obs': named(jnp.asarray(counts), 'T')})
+    train.fit(prob, method="qem", K=300, iters=100, lr=0.4)
+    q = prob.Q.qem_params()
+    post_a, post_b = a0 + counts.sum(), b0 + N
+    post_mean = post_a / post_b
+    est_mean = float(q['rate_concentration'].data) / float(q['rate_rate'].data)
+    assert abs(est_mean - post_mean) < 0.2, (est_mean, post_mean)
