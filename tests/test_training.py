@@ -143,3 +143,21 @@ def test_qem_gamma_conjugate():
     post_mean = post_a / post_b
     est_mean = float(q['rate_concentration'].data) / float(q['rate_rate'].data)
     assert abs(est_mean - post_mean) < 0.2, (est_mean, post_mean)
+
+
+def test_qem_beta_conjugate():
+    """QEM with a Beta proposal on Beta-Bernoulli (Dirichlet fixed-point +
+    Newton mean2conv path)."""
+    from alan_tpu import Beta, Bernoulli, Data, Plate, BoundPlate, Problem
+    import jax.numpy as jnp
+    flips = np.array([1., 1., 0., 1., 1., 1., 0., 1., 1., 1.], np.float32)
+    N = len(flips)
+    P = Plate(p=Beta(2., 1.), T=Plate(coin=Bernoulli('p')))
+    Q = Plate(p=Beta(QEMParam(1.), QEMParam(1.)), T=Plate(coin=Data()))
+    prob = Problem(BoundPlate(P, {'T': N}), BoundPlate(Q, {'T': N}),
+                   {'coin': named(jnp.asarray(flips), 'T')})
+    train.fit(prob, method="qem", K=300, iters=100, lr=0.4)
+    q = prob.Q.qem_params()
+    c1, c0 = float(q['p_concentration1'].data), float(q['p_concentration0'].data)
+    post_mean = (2 + flips.sum()) / (3 + N)
+    assert abs(c1 / (c1 + c0) - post_mean) < 0.07, (c1, c0, post_mean)
