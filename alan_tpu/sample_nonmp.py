@@ -25,6 +25,7 @@ class SampleNonMP:
         self.problem = problem
         self.reparam = reparam
         self.Kdim = "K"
+        self._states = (None, None)
 
         sample = _unify_dims(sample, self.Kdim, set(problem.all_platedims))
 
@@ -38,7 +39,7 @@ class SampleNonMP:
             P=self.problem.P.plate,
             Q=self.problem.Q.plate,
             sample=sample,
-            inputs_params=self.problem.inputs_params(),
+            inputs_params=self.problem.inputs_params(*self._states),
             data=self.problem.data,
             scope={},
             active_platedims=[],

@@ -146,20 +146,105 @@ def qem(problem, K: int, lr=0.1, sampler=PermutationSampler,
     return step, state0
 
 
+def _make_nonmp(problem, K, reparam, key, stateP, stateQ):
+    from .sample_nonmp import SampleNonMP
+    from .sampler import IndependentSampler
+    tree, gv2K = problem.Q._sample(K, reparam, IndependentSampler,
+                                   problem.all_platedims, key, state=stateQ)
+    s = SampleNonMP(problem, tree, gv2K, reparam)
+    s._states = (stateP, stateQ)
+    return s
+
+
+def global_elbo_fn(problem, K, reparam=True):
+    """Non-MP (global single-K, IWAE-style) ELBO as a pure function
+    (reference ``basic_runner.py`` global_* methods)."""
+    def f(stateP, stateQ, key):
+        s = _make_nonmp(problem, K, reparam, key, stateP, stateQ)
+        sample = s.reparam_sample if reparam else s.detached_sample
+        return s._elbo(sample)
+    return f
+
+
+def global_vi(problem, K: int, lr=0.01, optimizer=None, **_):
+    if optimizer is None:
+        optimizer = optax.adam(lr)
+    f = global_elbo_fn(problem, K, True)
+
+    def loss(params, stateP, stateQ, key):
+        sP, sQ = _split_opt(params, stateP, stateQ)
+        return -f(sP, sQ, key)
+
+    @jax.jit
+    def step(state, key):
+        stateP, stateQ, opt_state = state
+        params = _merge_opt(stateP, stateQ)
+        neg_elbo, grads = jax.value_and_grad(loss)(params, stateP, stateQ, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        stateP, stateQ = _split_opt(params, stateP, stateQ)
+        return (stateP, stateQ, opt_state), -neg_elbo
+
+    state0 = (problem.P.state(), problem.Q.state(),
+              optimizer.init(_merge_opt(problem.P.state(), problem.Q.state())))
+    return step, state0
+
+
+def global_rws(problem, K: int, lr=0.01, optimizer=None, **_):
+    if optimizer is None:
+        optimizer = optax.adam(lr)
+    f = global_elbo_fn(problem, K, False)
+
+    def elbo_of(params, stateP, stateQ, key):
+        sP, sQ = _split_opt(params, stateP, stateQ)
+        return f(sP, sQ, key)
+
+    @jax.jit
+    def step(state, key):
+        stateP, stateQ, opt_state = state
+        params = _merge_opt(stateP, stateQ)
+        elbo, g = jax.value_and_grad(elbo_of)(params, stateP, stateQ, key)
+        grads = {"P": jax.tree.map(lambda x: -x, g["P"]), "Q": g["Q"]}
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        stateP, stateQ = _split_opt(params, stateP, stateQ)
+        return (stateP, stateQ, opt_state), elbo
+
+    state0 = (problem.P.state(), problem.Q.state(),
+              optimizer.init(_merge_opt(problem.P.state(), problem.Q.state())))
+    return step, state0
+
+
+def global_qem(problem, K: int, lr=0.1, **_):
+    @jax.jit
+    def step(state, key):
+        stateP, stateQ = state
+        s = _make_nonmp(problem, K, False, key, stateP, stateQ)
+        newP = problem.P._updated_qem_state(lr, s, no_checkpoint, state=stateP)
+        newQ = problem.Q._updated_qem_state(lr, s, no_checkpoint, state=stateQ)
+        elbo = s._elbo(s.detached_sample)
+        return (newP, newQ), elbo
+
+    state0 = (problem.P.state(), problem.Q.state())
+    return step, state0
+
+
 def fit(problem, method="vi", K=10, iters=100, lr=None, key=None, **kwargs):
     """Convenience loop: run ``iters`` fused steps, write the final state back
     into the problem's BoundPlates, return the per-iteration ELBOs."""
     if key is None:
         key = jax.random.key(0)
-    defaults = {"vi": 0.01, "rws": 0.01, "qem": 0.1}
+    defaults = {"vi": 0.01, "rws": 0.01, "qem": 0.1,
+                "global_vi": 0.01, "global_rws": 0.01, "global_qem": 0.1}
     lr = lr if lr is not None else defaults[method]
-    factory = {"vi": vi, "rws": rws, "qem": qem}[method]
+    factory = {"vi": vi, "rws": rws, "qem": qem, "global_vi": global_vi,
+               "global_rws": global_rws, "global_qem": global_qem}[method]
     step, state = factory(problem, K, lr=lr, **kwargs)
     elbos = []
     for i in range(iters):
         state, elbo = step(state, jax.random.fold_in(key, i))
         elbos.append(elbo)
-    if method in ("vi", "rws"):
+    if method in ("vi", "rws", "global_vi", "global_rws"):
         stateP, stateQ, _ = state
     else:
         stateP, stateQ = state
