@@ -30,10 +30,26 @@ import os
 
 _USE_MATMUL_CONTRACT = os.environ.get("ALAN_TPU_NO_MATMUL_CONTRACT") != "1"
 # Contracted-dim size above which a pairwise step is reformulated as a
-# log-space matmul on the MXU (with the batch block collapsed to one axis —
-# many-small-batch-dim dots are a TPU compile-time pathology).  Tiny
-# contractions stay on the broadcast-add + logsumexp path.
-_MATMUL_MIN_K = int(os.environ.get("ALAN_TPU_MATMUL_MIN_K", "8"))
+# log-space matmul (with the batch block collapsed to one axis — many small
+# batch dims are a TPU compile-time pathology).  The reformulation pays on
+# the MXU; on CPU/GPU-less hosts the broadcast-add + logsumexp path is
+# faster, so the default gate depends on the backend.
+_MATMUL_MIN_K_ENV = os.environ.get("ALAN_TPU_MATMUL_MIN_K")
+_MATMUL_MIN_K = None
+
+
+def _matmul_min_k():
+    global _MATMUL_MIN_K
+    if _MATMUL_MIN_K is None:
+        if _MATMUL_MIN_K_ENV is not None:
+            _MATMUL_MIN_K = int(_MATMUL_MIN_K_ENV)
+        else:
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            _MATMUL_MIN_K = 8 if platform == "tpu" else 1 << 30
+    return _MATMUL_MIN_K
 
 
 def logsumexp_sum(Ks_to_sum, *lps) -> DT:
@@ -45,7 +61,7 @@ def logsumexp_sum(Ks_to_sum, *lps) -> DT:
         a, b = as_dt(lps[0]), as_dt(lps[1])
         shared = [k for k in Ks_to_sum if k in a.dims and k in b.dims]
         k_size = math.prod(a.dim_size(k) for k in shared) if shared else 0
-        if k_size >= _MATMUL_MIN_K:
+        if k_size >= _matmul_min_k():
             from .ops.contraction import pairwise_logsumexp_contract
             return pairwise_logsumexp_contract(a, b, tuple(Ks_to_sum))
     total = lps[0]

@@ -90,3 +90,25 @@ def test_sequence_sharded_chain_matches():
     mesh = make_mesh({"t": 8})
     out = chain_logmmexp_sharded(ms, mesh, "t")
     assert np.allclose(np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_qem_step_matmul_contraction():
+    """Sharded == unsharded also when the MXU matmul-contraction path is
+    forced (the path real TPU runs use)."""
+    import alan_tpu.reduce_ks as rk
+    old = rk._MATMUL_MIN_K
+    rk._MATMUL_MIN_K = 2
+    try:
+        problem = _tiny_problem()
+        K = 8
+        step_plain, state_plain = train.qem(problem, K, lr=0.1)
+        _, elbo_plain = step_plain(state_plain, jax.random.key(0))
+        mesh = make_mesh({"k": 2, "p": 4})
+        plan = MeshPlan(mesh, {"plate_1": "p"}).with_all_K("k")
+        step_sh, state_sh = train.qem(problem, K, lr=0.1, mesh_plan=plan)
+        with mesh:
+            _, elbo_sh = step_sh(state_sh, jax.random.key(0))
+        assert np.isclose(float(elbo_plain), float(elbo_sh), rtol=1e-4, atol=1e-4)
+    finally:
+        rk._MATMUL_MIN_K = old
