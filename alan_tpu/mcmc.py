@@ -83,6 +83,7 @@ _TRANSFORMS = {
     "real": ("id",), "real_vector": ("id",), "circular": ("id",),
     "positive": ("exp",),
     "unit_interval": ("sigmoid",),
+    "simplex": ("stickbreak",),
 }
 
 
@@ -95,7 +96,45 @@ def _constrain(kind, u):
         x = jax.nn.sigmoid(u)
         ld = jnp.sum(jax.nn.log_sigmoid(u) + jax.nn.log_sigmoid(-u))
         return x, ld
+    if kind == "stickbreak":
+        return _stickbreak_fwd(u)
     raise ValueError(kind)
+
+
+def _stickbreak_fwd(u):
+    """Logistic stick-breaking: u (..., d-1) -> simplex x (..., d), with the
+    Stan-style offset so u = 0 maps to the uniform simplex point."""
+    dm1 = u.shape[-1]
+    offsets = -jnp.log(jnp.arange(dm1, 0, -1, dtype=u.dtype))
+    y = u + offsets
+    z = jax.nn.sigmoid(y)
+
+    def body(r, zy):
+        z_k, y_k = zy
+        x_k = z_k * r
+        ld_k = jax.nn.log_sigmoid(y_k) + jax.nn.log_sigmoid(-y_k) + jnp.log(r)
+        return r * (1.0 - z_k), (x_k, ld_k)
+
+    # scan over the last axis
+    zt = jnp.moveaxis(z, -1, 0)
+    yt = jnp.moveaxis(y, -1, 0)
+    r0 = jnp.ones(u.shape[:-1], u.dtype)
+    r_last, (xs, lds) = jax.lax.scan(body, r0, (zt, yt))
+    x = jnp.concatenate([jnp.moveaxis(xs, 0, -1), r_last[..., None]], axis=-1)
+    return x, jnp.sum(lds)
+
+
+def _stickbreak_inv(x):
+    """Inverse stick-breaking: simplex x (..., d) -> u (..., d-1)."""
+    x = jnp.clip(x, 1e-6, 1.0)
+    dm1 = x.shape[-1] - 1
+    cum = jnp.cumsum(x[..., :-1], axis=-1)
+    r = jnp.concatenate([jnp.ones_like(x[..., :1]),
+                         1.0 - cum[..., :-1]], axis=-1) if dm1 > 1 else         jnp.ones_like(x[..., :1])
+    r = jnp.clip(r, 1e-6, 1.0)
+    z = jnp.clip(x[..., :-1] / r, 1e-6, 1 - 1e-6)
+    offsets = -jnp.log(jnp.arange(dm1, 0, -1, dtype=x.dtype))
+    return jnp.log(z) - jnp.log1p(-z) - offsets
 
 
 def _latent_specs(P: BoundPlate, data: dict):
@@ -149,6 +188,8 @@ def make_logpost(P: BoundPlate, data: dict):
         elif tr == "sigmoid":
             p = jnp.clip(v.data, 1e-6, 1 - 1e-6)
             u0[name] = jnp.log(p) - jnp.log1p(-p)
+        elif tr == "stickbreak":
+            u0[name] = _stickbreak_inv(v.data)
         else:
             u0[name] = v.data
     theta0, unravel = ravel_pytree(u0)

@@ -48,3 +48,19 @@ def test_nuts_linear_gaussian():
     assert diag["mean_accept"] > 0.6
     # chains agree
     assert np.abs(a.mean(axis=0) - a.mean()).max() < 0.25
+
+
+def test_hmc_simplex_dirichlet_categorical():
+    """Stick-breaking unconstraining: HMC recovers the Dirichlet-Categorical
+    conjugate posterior."""
+    import jax.numpy as jnp
+    from alan_tpu import Dirichlet, Categorical, Plate, BoundPlate, named
+    counts = np.array([0, 0, 1, 1, 1, 2, 2, 2, 2, 2], np.float32)
+    P = Plate(p=Dirichlet(jnp.ones(3)), T=Plate(c=Categorical(probs='p')))
+    Pb = BoundPlate(P, {'T': 10})
+    samples, diag = run_hmc(Pb, {'c': named(jnp.asarray(counts), 'T')},
+                            num_samples=500, num_warmup=500, num_chains=4,
+                            key=jax.random.key(5))
+    p = np.asarray(samples['p'].data)
+    alpha = np.array([3., 4., 6.])
+    assert np.allclose(p.mean(axis=(0, 1)), alpha / alpha.sum(), atol=0.07)
