@@ -77,3 +77,17 @@ def test_timeseries_proposal_in_Q():
     prob = Problem(bP, bQ, data)
     s = prob.sample(K=4, reparam=True, key=jax.random.key(0))
     assert np.isfinite(float(s.elbo_vi()))
+
+
+def test_covid_extend_predictive():
+    """Timeseries roll-forward extension + predictive LL end to end."""
+    import covid
+    platesizes, all_ps, data, all_data, cov, all_cov = covid.load_data_covariates(
+        key=jax.random.key(0), nRs=3, nDs=10)
+    problem = covid.generate_problem(platesizes, data, cov, "opt")
+    s = problem.sample(K=3, reparam=False, key=jax.random.key(1))
+    ext = s.importance_sample(N=5).extend(dict(all_ps), extended_inputs=all_cov)
+    li = ext.samples_flatdict['log_infected']
+    assert li.dim_size('nDs') == all_ps['nDs']
+    pll = ext.predictive_ll({'obs': all_data['obs']})
+    assert np.isfinite(float(pll['obs'].data))
