@@ -82,6 +82,9 @@ def k_sweep(Ks=(10, 30, 100), grouped_Ks=(100, 300, 1000)):
 
 
 def mesh_scaling(K=64):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
     jax.config.update("jax_platforms", "cpu")
     import movielens
     from alan_tpu import train
