@@ -144,10 +144,20 @@ class DT:
         return f"DT(dims={self.dims}, pos_shape={self.pos_shape}, dtype={self.data.dtype})"
 
 
+def _dt_unflatten(dims, children):
+    # Raw reconstruction: pytree unflattening must tolerate placeholder
+    # leaves (jit.lower ArgInfo, tracers, None in partial trees) and skip
+    # validation — construction-time checks live in __init__ for user code.
+    obj = object.__new__(DT)
+    obj.data = children[0]
+    obj.dims = dims
+    return obj
+
+
 jax.tree_util.register_pytree_node(
     DT,
     lambda x: ((x.data,), x.dims),
-    lambda dims, children: DT(children[0], dims),
+    _dt_unflatten,
 )
 
 
