@@ -27,18 +27,22 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
     from alan_tpu import train, Split, no_checkpoint
 
     model = __import__(model_name)
-    qtype = Q_param_type or ("opt" if method in ("vi", "rws") else "qem")
-    if method in ("vi", "rws") and qtype == "qem":
+    qtype = Q_param_type or ("opt" if "vi" in method or "rws" in method else "qem")
+    if ("vi" in method or "rws" in method) and qtype == "qem":
         qtype = "opt"
     problem, all_data, all_covariates, all_platesizes = \
         model.load_and_generate_problem(key=jax.random.key(seed), Q_param_type=qtype)
 
     strategy = Split(*split) if split else no_checkpoint
-    defaults = {"vi": 0.01, "rws": 0.01, "qem": 0.1}
+    defaults = {"vi": 0.01, "rws": 0.01, "qem": 0.1,
+                "global_vi": 0.01, "global_rws": 0.01, "global_qem": 0.1}
     lr = lr if lr is not None else defaults[method]
 
-    factory = {"vi": train.vi, "rws": train.rws, "qem": train.qem}[method]
-    step, state = factory(problem, K, lr=lr, computation_strategy=strategy)
+    factory = {"vi": train.vi, "rws": train.rws, "qem": train.qem,
+               "global_vi": train.global_vi, "global_rws": train.global_rws,
+               "global_qem": train.global_qem}[method]
+    kwargs = {} if method.startswith("global") else {"computation_strategy": strategy}
+    step, state = factory(problem, K, lr=lr, **kwargs)
 
     key = jax.random.key(seed + 1)
     elbos, iter_times = [], []
@@ -58,7 +62,7 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
         elbos.append(float(elbo))
 
     # write trained state back
-    if method in ("vi", "rws"):
+    if method in ("vi", "rws", "global_vi", "global_rws"):
         stateP, stateQ, _ = state
     else:
         stateP, stateQ = state
@@ -94,7 +98,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     ap.add_argument("--model", required=True)
-    ap.add_argument("--method", default="qem", choices=["vi", "rws", "qem"])
+    ap.add_argument("--method", default="qem", choices=["vi", "rws", "qem", "global_vi", "global_rws", "global_qem"])
     ap.add_argument("--K", type=int, default=30)
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--lr", type=float, default=None)

@@ -161,3 +161,10 @@ def test_qem_beta_conjugate():
     c1, c0 = float(q['p_concentration1'].data), float(q['p_concentration0'].data)
     post_mean = (2 + flips.sum()) / (3 + N)
     assert abs(c1 / (c1 + c0) - post_mean) < 0.07, (c1, c0, post_mean)
+
+
+def test_global_methods_run():
+    for method in ("global_vi", "global_rws", "global_qem"):
+        prob, pm, psd = _problem("qem" if method == "global_qem" else "opt")
+        elbos = train.fit(prob, method=method, K=50, iters=5, lr=0.05)
+        assert np.all(np.isfinite(np.asarray(elbos))), method
