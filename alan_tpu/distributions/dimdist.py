@@ -26,6 +26,10 @@ class DimDist:
         self.family = family
         params = {k: v for k, v in params.items() if v is not None}
         params = family.canonicalize(params)
+        # keep pre-conversion values: shape-determining params (e.g. LKJ's
+        # ``dim``) must stay static python numbers (inside lax.scan traces,
+        # even jnp constants become tracers)
+        self._raw_params = params
         self.params = {k: as_dt(v) for k, v in params.items()}
         self.arg_dims = tuple(unify_dims(self.params.values()))
 
@@ -47,7 +51,10 @@ class DimDist:
         # sample event shape: broadcast trailing `family.event_ndim` axes of
         # params that carry at least that many event axes.
         ev = family.event_ndim
-        if ev == 0:
+        explicit = family.event_shape(self._raw_params)
+        if explicit is not None:
+            self.event_shape = tuple(explicit)
+        elif ev == 0:
             self.event_shape = ()
         else:
             cands = []

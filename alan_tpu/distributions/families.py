@@ -58,6 +58,12 @@ class Family:
         """Optionally rewrite params (e.g. logits -> probs)."""
         return params
 
+    @classmethod
+    def event_shape(cls, params) -> tuple | None:
+        """Event shape when it isn't derivable from parameter shapes
+        (None = infer from params, the common case)."""
+        return None
+
     # subclasses implement:
     @classmethod
     def sample(cls, key, shape, params):
@@ -863,6 +869,11 @@ class LKJCholesky(Family):
     arg_event_ndim = {"dim": 0, "concentration": 0}
     event_ndim = 2
     support = "corr_cholesky"
+
+    @classmethod
+    def event_shape(cls, params):
+        d = int(params["dim"])
+        return (d, d)
 
     @classmethod
     def sample(cls, key, shape, p):

@@ -84,6 +84,7 @@ _TRANSFORMS = {
     "positive": ("exp",),
     "unit_interval": ("sigmoid",),
     "simplex": ("stickbreak",),
+    "corr_cholesky": ("corrchol",),
 }
 
 
@@ -98,6 +99,8 @@ def _constrain(kind, u):
         return x, ld
     if kind == "stickbreak":
         return _stickbreak_fwd(u)
+    if kind == "corrchol":
+        return _corrchol_fwd(u)
     raise ValueError(kind)
 
 
@@ -122,6 +125,46 @@ def _stickbreak_fwd(u):
     r_last, (xs, lds) = jax.lax.scan(body, r0, (zt, yt))
     x = jnp.concatenate([jnp.moveaxis(xs, 0, -1), r_last[..., None]], axis=-1)
     return x, jnp.sum(lds)
+
+
+def _corrchol_fwd(u):
+    """Canonical-partial-correlation transform (Stan reference manual,
+    cholesky_corr): u (..., d(d-1)/2) -> lower-triangular Cholesky factor of
+    a correlation matrix (..., d, d), with log|det J|."""
+    m = u.shape[-1]
+    d = int((1 + (1 + 8 * m) ** 0.5) / 2)
+    z = jnp.tanh(u)
+    batch = u.shape[:-1]
+    L = jnp.zeros(batch + (d, d), u.dtype)
+    L = L.at[..., 0, 0].set(1.0)
+    logdet = jnp.sum(jnp.log1p(-z * z))          # d tanh/du = 1 - z^2
+    idx = 0
+    for i in range(1, d):
+        rem = jnp.ones(batch, u.dtype)           # remaining squared norm
+        for j in range(i):
+            x = z[..., idx] * jnp.sqrt(rem)
+            L = L.at[..., i, j].set(x)
+            # dx_ij/dz_ij = sqrt(rem): triangular Jacobian contribution
+            logdet = logdet + 0.5 * jnp.sum(jnp.log(rem))
+            rem = rem * (1.0 - z[..., idx] ** 2)
+            idx += 1
+        L = L.at[..., i, i].set(jnp.sqrt(jnp.clip(rem, 1e-12)))
+    return L, logdet
+
+
+def _corrchol_inv(L):
+    """Inverse of _corrchol_fwd."""
+    d = L.shape[-1]
+    batch = L.shape[:-2]
+    us = []
+    for i in range(1, d):
+        rem = jnp.ones(batch, L.dtype)
+        for j in range(i):
+            z = jnp.clip(L[..., i, j] / jnp.sqrt(jnp.clip(rem, 1e-12)),
+                         -1 + 1e-6, 1 - 1e-6)
+            us.append(jnp.arctanh(z))
+            rem = rem * (1.0 - z ** 2)
+    return jnp.stack(us, axis=-1) if us else jnp.zeros(batch + (0,), L.dtype)
 
 
 def _stickbreak_inv(x):
@@ -190,6 +233,8 @@ def make_logpost(P: BoundPlate, data: dict):
             u0[name] = jnp.log(p) - jnp.log1p(-p)
         elif tr == "stickbreak":
             u0[name] = _stickbreak_inv(v.data)
+        elif tr == "corrchol":
+            u0[name] = _corrchol_inv(v.data)
         else:
             u0[name] = v.data
     theta0, unravel = ravel_pytree(u0)

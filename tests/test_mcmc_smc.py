@@ -64,3 +64,23 @@ def test_hmc_simplex_dirichlet_categorical():
     p = np.asarray(samples['p'].data)
     alpha = np.array([3., 4., 6.])
     assert np.allclose(p.mean(axis=(0, 1)), alpha / alpha.sum(), atol=0.07)
+
+
+def test_hmc_lkj_correlation():
+    """corr_cholesky unconstraining: HMC recovers a known correlation under
+    an LKJ prior."""
+    import jax.numpy as jnp
+    from alan_tpu import LKJCholesky, MultivariateNormal, Plate, BoundPlate, named
+    rng = np.random.default_rng(0)
+    true_L = np.linalg.cholesky(np.array([[1., .7], [.7, 1.]]))
+    N = 200
+    obs = (rng.standard_normal((N, 2)) @ true_L.T).astype(np.float32)
+    P = Plate(L=LKJCholesky(2, 2.0),
+              T=Plate(y=MultivariateNormal(jnp.zeros(2), scale_tril='L')))
+    Pb = BoundPlate(P, {'T': N})
+    samples, diag = run_hmc(Pb, {'y': named(jnp.asarray(obs), 'T')},
+                            num_samples=300, num_warmup=300, num_chains=4,
+                            key=jax.random.key(0))
+    Ls = np.asarray(samples['L'].data)
+    corr = (Ls @ np.swapaxes(Ls, -1, -2))[..., 0, 1]
+    assert abs(corr.mean() - 0.7) < 0.1
