@@ -1,0 +1,103 @@
+"""COVID NPI model with a badly-scaled ``Wearing_alpha`` (parity: reference
+``examples/models/covid_reparam/covid_reparam.py``): divided by SCALE in
+the prior, multiplied back inside the timeseries transition mean.  Fake
+data reused from the base module (observation law unchanged)."""
+import math
+import os
+import sys
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+import covid as base
+
+from alan_tpu import (Normal, NegativeBinomial, Timeseries, Plate, BoundPlate,
+                      Problem, Data, Group, QEMParam, OptParam)
+
+nCMs = base.nCMs
+SCALE = 10000.0
+
+name = "covid_reparam"
+
+load_data_covariates = base.load_data_covariates
+
+
+def get_P(platesizes, covariates):
+    cm_prior_scale = 1
+    wearing_mean, wearing_sigma = 0, 0.4
+    mobility_mean, mobility_sigma = 1.704, 0.44
+    R_prior_mean_mean, R_prior_mean_scale = 1.07, 0.2
+    R_noise_scale = 0.4
+
+    Expected_Log_Rs = lambda RegionR, CM_alpha, ActiveCMs_NPIs, Wearing_alpha, \
+        ActiveCMs_wearing, Mobility_alpha, ActiveCMs_mobility, prev: \
+        RegionR + CM_alpha @ ActiveCMs_NPIs + SCALE * Wearing_alpha * ActiveCMs_wearing \
+        + Mobility_alpha * ActiveCMs_mobility + prev
+
+    P = Plate(
+        CM_alpha=Normal(0, cm_prior_scale, sample_shape=[nCMs - 2]),
+        Wearing_alpha=Normal(wearing_mean / SCALE, wearing_sigma / SCALE),
+        Mobility_alpha=Normal(mobility_mean, mobility_sigma),
+        RegionR=Normal(R_prior_mean_mean, R_prior_mean_scale + R_noise_scale),
+        InitialSize_log_mean=Normal(math.log(1000), 0.5),
+        log_infected_noise_mean=Normal(math.log(0.01), 0.25),
+        nRs=Plate(
+            InitialSize_log=Normal(lambda InitialSize_log_mean: InitialSize_log_mean, 0.5),
+            log_infected_noise=Normal(lambda log_infected_noise_mean: log_infected_noise_mean, 0.25),
+            psi=Normal(0, 1),
+            nDs=Plate(
+                log_infected=Timeseries('InitialSize_log',
+                                        Normal(Expected_Log_Rs,
+                                               lambda log_infected_noise: log_infected_noise.exp())),
+                obs=NegativeBinomial(
+                    total_count=lambda psi: psi.exp(),
+                    probs=lambda log_infected, psi:
+                    1.0 / ((psi.exp() / log_infected.exp()) + 1 + 1e-7)),
+            ),
+        ),
+    )
+    return BoundPlate(P, platesizes, inputs=covariates)
+
+
+def generate_problem(platesizes, data, covariates, Q_param_type="opt"):
+    P = get_P(platesizes, covariates)
+
+    def loc_scale(shape=None, loc_init=0.0, scale_init=1.0):
+        if Q_param_type == "opt":
+            loc = jnp.full(shape, loc_init) if shape else loc_init
+            ls = jnp.full(shape, math.log(scale_init)) if shape else math.log(scale_init)
+            return (OptParam(loc), OptParam(ls, transformation=jnp.exp))
+        loc = jnp.full(shape, loc_init) if shape else loc_init
+        sc = jnp.full(shape, scale_init) if shape else scale_init
+        return (QEMParam(loc), QEMParam(sc))
+
+    Q = Plate(
+        npis=Group(
+            CM_alpha=Normal(*loc_scale((nCMs - 2,))),
+            Wearing_alpha=Normal(*loc_scale(scale_init=1.0 / SCALE)),
+            Mobility_alpha=Normal(*loc_scale()),
+            RegionR=Normal(*loc_scale(loc_init=1.0)),
+            InitialSize_log_mean=Normal(*loc_scale(loc_init=math.log(1000))),
+            log_infected_noise_mean=Normal(*loc_scale(loc_init=math.log(0.01))),
+        ),
+        nRs=Plate(
+            a=Group(
+                InitialSize_log=Normal(*loc_scale(loc_init=math.log(1000))),
+                log_infected_noise=Normal(*loc_scale(loc_init=math.log(0.01))),
+                psi=Normal(*loc_scale()),
+            ),
+            nDs=Plate(
+                log_infected=Normal(*loc_scale(loc_init=math.log(1000))),
+                obs=Data(),
+            ),
+        ),
+    )
+    Q = BoundPlate(Q, platesizes, inputs=covariates)
+    return Problem(P, Q, data)
+
+
+def load_and_generate_problem(key=None, Q_param_type="opt", run=0, fake_data=True):
+    platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
+        load_data_covariates(key, run, fake_data)
+    problem = generate_problem(platesizes, data, covariates, Q_param_type)
+    return problem, all_data, all_covariates, all_platesizes

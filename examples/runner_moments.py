@@ -21,21 +21,23 @@ import numpy as np
 
 
 def run(model_name, K=30, iters=50, hmc_samples=500, hmc_warmup=500, seed=0,
-        out=None):
+        out=None, sampler="hmc"):
     from alan_tpu import train, mean
     from alan_tpu.mcmc import run_hmc
+    from alan_tpu.nuts import run_nuts
     from alan_tpu.dims import as_dt, dims_of
 
     model = __import__(model_name)
     problem, all_data, all_covariates, all_platesizes = \
         model.load_and_generate_problem(key=jax.random.key(seed), Q_param_type="qem")
 
-    # "ground truth" posterior means from HMC on P
+    # "ground truth" posterior means from HMC/NUTS on P
     data_flat = {k: v for k, v in problem._data.items()}
+    run_sampler = {"hmc": run_hmc, "nuts": run_nuts}[sampler]
     t0 = time.time()
-    hmc, diag = run_hmc(problem.P, data_flat, num_samples=hmc_samples,
-                        num_warmup=hmc_warmup, num_chains=4,
-                        key=jax.random.key(seed + 1))
+    hmc, diag = run_sampler(problem.P, data_flat, num_samples=hmc_samples,
+                            num_warmup=hmc_warmup, num_chains=4,
+                            key=jax.random.key(seed + 1))
     hmc_time = time.time() - t0
 
     # train MP posterior with QEM, then compute moments
@@ -73,12 +75,14 @@ def main():
     ap.add_argument("--K", type=int, default=30)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--hmc-samples", type=int, default=500)
+    ap.add_argument("--sampler", default="hmc", choices=["hmc", "nuts"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     a = ap.parse_args()
     if a.platform:
         jax.config.update("jax_platforms", a.platform)
-    r = run(a.model, a.K, a.iters, a.hmc_samples, seed=a.seed, out=a.out)
+    r = run(a.model, a.K, a.iters, a.hmc_samples, seed=a.seed, out=a.out,
+            sampler=a.sampler)
     print(json.dumps(r, indent=1, default=str))
 
 

@@ -16,6 +16,9 @@ sys.path.insert(0, EXAMPLES)
     ("movielens", "qem"), ("movielens", "opt"),
     ("bus_breakdown", "qem"), ("chimpanzees", "opt"),
     ("radon", "qem"), ("occupancy", "qem"),
+    ("synthetic_model", "qem"),
+    ("movielens_reparam", "qem"), ("bus_breakdown_reparam", "opt"),
+    ("occupancy_reparam", "qem"), ("radon_reparam", "qem"),
 ])
 def test_model_elbo(name, qtype):
     mod = __import__(name)
@@ -31,6 +34,15 @@ def test_covid_timeseries_elbo():
     platesizes, all_ps, data, all_data, cov, all_cov = covid.load_data_covariates(
         key=jax.random.key(0), nRs=4, nDs=16)
     problem = covid.generate_problem(platesizes, data, cov, "opt")
+    s = problem.sample(K=3, reparam=False)
+    assert np.isfinite(float(s.elbo_nograd()))
+
+
+def test_covid_reparam_elbo():
+    import covid_reparam
+    platesizes, all_ps, data, all_data, cov, all_cov = \
+        covid_reparam.load_data_covariates(key=jax.random.key(0), nRs=4, nDs=16)
+    problem = covid_reparam.generate_problem(platesizes, data, cov, "opt")
     s = problem.sample(K=3, reparam=False)
     assert np.isfinite(float(s.elbo_nograd()))
 
