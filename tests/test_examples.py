@@ -103,3 +103,20 @@ def test_covid_extend_predictive():
     assert li.dim_size('nDs') == all_ps['nDs']
     pll = ext.predictive_ll({'obs': all_data['obs']})
     assert np.isfinite(float(pll['obs'].data))
+
+
+SIMPLE_EXAMPLES = sorted(
+    f[:-3] for f in os.listdir(os.path.join(EXAMPLES, "simple_examples"))
+    if f.endswith(".py"))
+
+
+@pytest.mark.parametrize("name", SIMPLE_EXAMPLES)
+def test_simple_example_runs(name):
+    """Every simple example runs end-to-end (parity: reference
+    examples/simple_examples/*.py, incl. linear_gaussian{,_plated})."""
+    path = os.path.join(EXAMPLES, "simple_examples", name + ".py")
+    prog = ("import jax; jax.config.update('jax_platforms','cpu'); "
+            f"import runpy; runpy.run_path({path!r}, run_name='__main__')")
+    res = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                         text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
