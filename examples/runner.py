@@ -22,8 +22,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _pq_of(state, method):
+    if method in ("vi", "rws", "global_vi", "global_rws"):
+        stateP, stateQ, _ = state
+    else:
+        stateP, stateQ = state
+    return stateP, stateQ
+
+
 def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
-        Q_param_type=None, split=None, seed=0, out=None):
+        Q_param_type=None, split=None, seed=0, out=None, predll_every=0):
     from alan_tpu import train, Split, no_checkpoint
 
     model = __import__(model_name)
@@ -44,6 +52,27 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
     kwargs = {} if method.startswith("global") else {"computation_strategy": strategy}
     step, state = factory(problem, K, lr=lr, **kwargs)
 
+    # optional predictive-LL *trajectory* (reference records per-iteration
+    # p_lls with their evaluation time excluded from iter_times,
+    # ``runner.py:94,187``); built before training so compile time is not
+    # charged to any iteration.
+    pll_f = None
+    if predll_N and predll_every:
+        from alan_tpu.predict import predictive_ll_fn
+        pll_f = predictive_ll_fn(problem, K=K, N=predll_N,
+                                 extended_platesizes=dict(all_platesizes))
+    p_lls, predll_iters = [], []
+
+    def eval_pll(i, state):
+        if pll_f is None or i % predll_every:
+            return
+        stateP, stateQ = _pq_of(state, method)
+        pll = pll_f(stateP, stateQ, all_covariates, all_data,
+                    jax.random.fold_in(jax.random.key(seed + 2), i))
+        jax.block_until_ready(pll)
+        p_lls.append(float(sum(float(v) for v in pll.values())))
+        predll_iters.append(i)
+
     key = jax.random.key(seed + 1)
     elbos, iter_times = [], []
     # warm-up / compile
@@ -53,6 +82,7 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
     compile_time = time.time() - t0
     elbos.append(float(elbo))
     iter_times.append(0.0)
+    eval_pll(0, state)
 
     for i in range(1, iters):
         t0 = time.time()
@@ -60,12 +90,10 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
         jax.block_until_ready(elbo)
         iter_times.append(time.time() - t0)
         elbos.append(float(elbo))
+        eval_pll(i, state)
 
     # write trained state back
-    if method in ("vi", "rws", "global_vi", "global_rws"):
-        stateP, stateQ, _ = state
-    else:
-        stateP, stateQ = state
+    stateP, stateQ = _pq_of(state, method)
     problem.P.set_state(stateP)
     problem.Q.set_state(stateQ)
 
@@ -74,8 +102,11 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
         "iters": iters, "compile_time_s": compile_time,
         "mean_iter_time_s": float(jnp.mean(jnp.array(iter_times[1:]))) if iters > 1 else None,
         "elbo_start": elbos[0], "elbo_end": elbos[-1],
-        "elbos": elbos, "iter_times": iter_times,
+        "elbos": elbos, "iter_times": iter_times, "seed": seed,
     }
+    if p_lls:
+        result["p_lls"] = p_lls
+        result["predll_iters"] = predll_iters
 
     if predll_N:
         from alan_tpu.predict import predictive_ll_fn
@@ -103,6 +134,9 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--predll-N", type=int, default=0)
+    ap.add_argument("--predll-every", type=int, default=0,
+                    help="record a predictive-LL trajectory every E iters "
+                         "(time excluded from iter_times)")
     ap.add_argument("--Q-param-type", default=None, choices=[None, "opt", "qem"])
     ap.add_argument("--split", nargs=2, metavar=("PLATE", "SIZE"), default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -112,9 +146,10 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     split = (args.split[0], int(args.split[1])) if args.split else None
     result = run(args.model, args.method, args.K, args.iters, args.lr,
-                 args.predll_N, args.Q_param_type, split, args.seed, args.out)
+                 args.predll_N, args.Q_param_type, split, args.seed, args.out,
+                 predll_every=args.predll_every)
     print(json.dumps({k: v for k, v in result.items()
-                      if k not in ("elbos", "iter_times")}, indent=1))
+                      if k not in ("elbos", "iter_times", "p_lls")}, indent=1))
 
 
 if __name__ == "__main__":
