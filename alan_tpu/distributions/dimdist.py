@@ -122,6 +122,15 @@ class DimDist:
                 f"sample for {self.family.name} has {x.pos_ndim} positional axes; "
                 f"expected at least batch({self.batch_ndim}) + event({ev})")
 
+        # Cross-K fast path: when sample and parameters carry disjoint K-dims
+        # the diagonal-Normal density factorises into an MXU contraction
+        # instead of O(K^2 * plate * event) VPU broadcasting (ops/lowrank.py).
+        if self.family.name == "Normal":
+            from ..ops.lowrank import (normal_lowrank_applicable,
+                                       normal_lowrank_logprob)
+            if normal_lowrank_applicable(x, self.params, self.arg_dims):
+                return normal_lowrank_logprob(x, self.params)
+
         union = unify_dims([x] + list(self.params.values()))
         x_arr = expand_to(x, union)
         # params: (*union_or_1, *1s(sample_ndim + batch pad), *own_pos)

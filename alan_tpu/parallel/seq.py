@@ -12,7 +12,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.logmmexp import chain_logmmexp
 
@@ -30,5 +33,12 @@ def chain_logmmexp_sharded(ms, mesh: Mesh, axis: str):
         gathered = jnp.moveaxis(gathered, 0, -3)        # (..., n, K, K)
         return chain_logmmexp(gathered)
 
-    return shard_map(local, mesh=mesh, in_specs=(spec_in,),
-                     out_specs=spec_out, check_rep=False)(ms)
+    # jax>=0.8 renamed check_rep -> check_vma (both disable the replication
+    # checker, which rejects the psum-of-gathered-operators pattern here)
+    try:
+        f = shard_map(local, mesh=mesh, in_specs=(spec_in,),
+                      out_specs=spec_out, check_vma=False)
+    except TypeError:  # pragma: no cover
+        f = shard_map(local, mesh=mesh, in_specs=(spec_in,),
+                      out_specs=spec_out, check_rep=False)
+    return f(ms)
