@@ -123,13 +123,13 @@ class DimDist:
                 f"expected at least batch({self.batch_ndim}) + event({ev})")
 
         # Cross-K fast path: when sample and parameters carry disjoint K-dims
-        # the diagonal-Normal density factorises into an MXU contraction
-        # instead of O(K^2 * plate * event) VPU broadcasting (ops/lowrank.py).
-        if self.family.name == "Normal":
-            from ..ops.lowrank import (normal_lowrank_applicable,
-                                       normal_lowrank_logprob)
-            if normal_lowrank_applicable(x, self.params, self.arg_dims):
-                return normal_lowrank_logprob(x, self.params)
+        # an exp-family density factorises into an MXU contraction instead of
+        # O(K^2 * plate * event) VPU broadcasting (ops/lowrank.py).
+        from ..ops.lowrank import (LOWRANK_FAMILIES, lowrank_applicable,
+                                   lowrank_logprob)
+        if self.family.name in LOWRANK_FAMILIES and lowrank_applicable(
+                self.family.name, x, self.params, self.arg_dims):
+            return lowrank_logprob(self.family.name, x, self.params)
 
         union = unify_dims([x] + list(self.params.values()))
         x_arr = expand_to(x, union)

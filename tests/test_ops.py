@@ -214,3 +214,40 @@ def test_lowrank_routing_thresholds():
     with _Env(ALAN_TPU_LOWRANK_MIN=1):
         assert not normal_lowrank_applicable(
             x, {"loc": DT(jnp.zeros(3)), "scale": DT(jnp.ones(3))}, ())
+
+
+@pytest.mark.parametrize("family", ["LogNormal", "Exponential", "Gamma", "Beta"])
+def test_lowrank_expfamily_matches_elementwise(family):
+    from alan_tpu.ops.lowrank import lowrank_logprob
+    from alan_tpu.distributions import families as fam
+    from alan_tpu.distributions.dimdist import DimDist
+    F = getattr(fam, family)
+    pos = (4,)
+    positive = lambda ds, s=1.0: DT(jnp.asarray(np.abs(
+        rng.standard_normal(tuple({"K_z": 6, "K_g": 5}[d] for d in ds) + pos))
+        * s + 0.3, jnp.float32), ds)
+    if family == "LogNormal":
+        x = positive(("K_z",), 2.0)
+        params = {"loc": DT(jnp.asarray(rng.standard_normal((5,) + pos),
+                                        jnp.float32), ("K_g",)),
+                  "scale": positive(("K_g",), 0.5)}
+    elif family == "Exponential":
+        x = positive(("K_z",))
+        params = {"rate": positive(("K_g",))}
+    elif family == "Gamma":
+        x = positive(("K_z",))
+        params = {"concentration": positive(("K_g",)),
+                  "rate": positive(("K_g",))}
+    else:  # Beta
+        u = positive(("K_z",))
+        x = u / (u + 1.2)
+        params = {"concentration1": positive(("K_g",)),
+                  "concentration0": positive(("K_g",))}
+
+    got = lowrank_logprob(family, x, params)
+    with _Env(ALAN_TPU_NO_LOWRANK_LOGPROB=1):
+        want = DimDist(F, **params).log_prob(x)
+    want = want.with_dims_front(got.dims)
+    assert got.dims == want.dims
+    np.testing.assert_allclose(np.asarray(got.data), np.asarray(want.data),
+                               rtol=2e-4, atol=2e-4)
