@@ -51,6 +51,18 @@ def elbo_fn(problem, K, reparam=True, sampler=PermutationSampler,
     return f
 
 
+def _strong(tree):
+    """Strip ``weak_type`` from every array leaf of an initial state.
+
+    Leaves created from python scalars are weak-typed; after one update they
+    come back strong-typed, so the second ``step`` call would see different
+    avals and silently recompile the whole program — a one-off multi-second
+    stall that dominated short runs (observed: covid RWS at 1-3 s/step mean
+    over 10 iters vs 2 ms steady-state)."""
+    return jax.tree.map(
+        lambda x: jax.lax.convert_element_type(x, jnp.result_type(x)), tree)
+
+
 def _merge_opt(stateP, stateQ):
     return {"P": stateP["opt"], "Q": stateQ["opt"]}
 
@@ -85,8 +97,9 @@ def vi(problem, K: int, lr=0.01, optimizer=None,
         stateP, stateQ = _split_opt(params, stateP, stateQ)
         return (stateP, stateQ, opt_state), -neg_elbo
 
-    state0 = (problem.P.state(), problem.Q.state(),
-              optimizer.init(_merge_opt(problem.P.state(), problem.Q.state())))
+    state0 = _strong((problem.P.state(), problem.Q.state(),
+                      optimizer.init(_merge_opt(problem.P.state(),
+                                                problem.Q.state()))))
     return step, state0
 
 
@@ -121,8 +134,9 @@ def rws(problem, K: int, lr=0.01, optimizer=None,
         stateP, stateQ = _split_opt(params, stateP, stateQ)
         return (stateP, stateQ, opt_state), elbo
 
-    state0 = (problem.P.state(), problem.Q.state(),
-              optimizer.init(_merge_opt(problem.P.state(), problem.Q.state())))
+    state0 = _strong((problem.P.state(), problem.Q.state(),
+                      optimizer.init(_merge_opt(problem.P.state(),
+                                                problem.Q.state()))))
     return step, state0
 
 
@@ -142,7 +156,7 @@ def qem(problem, K: int, lr=0.1, sampler=PermutationSampler,
         elbo = s._elbo(s.detached_sample, None, computation_strategy)
         return (newP, newQ), elbo
 
-    state0 = (problem.P.state(), problem.Q.state())
+    state0 = _strong((problem.P.state(), problem.Q.state()))
     return step, state0
 
 
@@ -185,8 +199,9 @@ def global_vi(problem, K: int, lr=0.01, optimizer=None, **_):
         stateP, stateQ = _split_opt(params, stateP, stateQ)
         return (stateP, stateQ, opt_state), -neg_elbo
 
-    state0 = (problem.P.state(), problem.Q.state(),
-              optimizer.init(_merge_opt(problem.P.state(), problem.Q.state())))
+    state0 = _strong((problem.P.state(), problem.Q.state(),
+                      optimizer.init(_merge_opt(problem.P.state(),
+                                                problem.Q.state()))))
     return step, state0
 
 
@@ -210,8 +225,9 @@ def global_rws(problem, K: int, lr=0.01, optimizer=None, **_):
         stateP, stateQ = _split_opt(params, stateP, stateQ)
         return (stateP, stateQ, opt_state), elbo
 
-    state0 = (problem.P.state(), problem.Q.state(),
-              optimizer.init(_merge_opt(problem.P.state(), problem.Q.state())))
+    state0 = _strong((problem.P.state(), problem.Q.state(),
+                      optimizer.init(_merge_opt(problem.P.state(),
+                                                problem.Q.state()))))
     return step, state0
 
 
@@ -225,7 +241,7 @@ def global_qem(problem, K: int, lr=0.1, **_):
         elbo = s._elbo(s.detached_sample)
         return (newP, newQ), elbo
 
-    state0 = (problem.P.state(), problem.Q.state())
+    state0 = _strong((problem.P.state(), problem.Q.state()))
     return step, state0
 
 

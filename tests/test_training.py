@@ -168,3 +168,26 @@ def test_global_methods_run():
         prob, pm, psd = _problem("qem" if method == "global_qem" else "opt")
         elbos = train.fit(prob, method=method, K=50, iters=5, lr=0.05)
         assert np.all(np.isfinite(np.asarray(elbos))), method
+
+
+def test_step_state_signature_stable():
+    """The state returned by one step must have identical avals (incl.
+    weak_type) to the factory's initial state — a mismatch silently
+    recompiles the whole program on the SECOND call (observed: covid RWS at
+    1-3 s/step mean over short runs vs 2 ms steady-state, from weak-typed
+    Adam moments)."""
+    def sig(tree):
+        return jax.tree.map(lambda x: (jnp.shape(x), jnp.result_type(x),
+                                       getattr(x, "weak_type", None)), tree)
+
+    for qtype, factory in [("opt", train.vi), ("opt", train.rws),
+                           ("qem", train.qem), ("opt", train.global_vi),
+                           ("opt", train.global_rws), ("qem", train.global_qem)]:
+        problem, _, _ = _problem(qtype)
+        step, state0 = factory(problem, 3, lr=0.01)
+        state1, _ = step(state0, jax.random.key(0))
+        f0 = jax.tree_util.tree_flatten_with_path(sig(state0))[0]
+        f1 = jax.tree_util.tree_flatten_with_path(sig(state1))[0]
+        diffs = [(jax.tree_util.keystr(p0), v0, v1)
+                 for (p0, v0), (_, v1) in zip(f0, f1) if v0 != v1]
+        assert not diffs, (factory.__name__, diffs[:5])
