@@ -58,7 +58,11 @@ LOWRANK_FAMILIES = ("Normal", "LogNormal", "Exponential", "Gamma", "Chi2",
 
 
 def _threshold() -> int:
-    return int(os.environ.get("ALAN_TPU_LOWRANK_MIN", str(1 << 21)))
+    # Default calibrated on a v5e with fetch-based timing: ungrouped
+    # movielens K=30 (work 1.5e8) is dispatch-bound and loses from the
+    # extra assembly ops (0.48 -> 1.30 ms); grouped K=300 (work 4.9e8)
+    # wins 1.65x.  2^28 ~ 2.7e8 splits the two.
+    return int(os.environ.get("ALAN_TPU_LOWRANK_MIN", str(1 << 28)))
 
 
 def lowrank_applicable(family_name, x, params, arg_dims) -> bool:

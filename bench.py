@@ -55,18 +55,27 @@ def bench_alan_tpu():
         problem, _, _, _ = movielens.load_and_generate_problem(
             key=jax.random.key(0), Q_param_type="qem")
 
-    step, state = train.qem(problem, K, lr=0.1)
+    step, state0 = train.qem(problem, K, lr=0.1)
     key = jax.random.key(7)
 
-    # compile + warm up
-    state, elbo = step(state, jax.random.fold_in(key, 0))
-    jax.block_until_ready(elbo)
+    # compile + warm up (a host FETCH is the only reliable completion
+    # barrier over the remote-TPU tunnel; block_until_ready can return
+    # before execution finishes there)
+    import numpy as np
+    state, elbo = step(state0, jax.random.fold_in(key, 0))
+    float(np.asarray(elbo))
 
-    t0 = time.perf_counter()
-    for i in range(1, N_STEPS + 1):
-        state, elbo = step(state, jax.random.fold_in(key, i))
-    jax.block_until_ready(elbo)
-    dt = (time.perf_counter() - t0) / N_STEPS
+    # per-step time = slope between two loop lengths, each ended by a fetch
+    # (cancels the constant fetch/dispatch overhead)
+    totals = {}
+    for N in (N_STEPS, 4 * N_STEPS):
+        state = state0
+        t0 = time.perf_counter()
+        for i in range(N):
+            state, elbo = step(state, jax.random.fold_in(key, i + 1))
+        float(np.asarray(elbo))
+        totals[N] = time.perf_counter() - t0
+    dt = (totals[4 * N_STEPS] - totals[N_STEPS]) / (3 * N_STEPS)
 
     n_latent_sites = 2 + movielens.M          # mu_z, psi_z, z x plate_1
     samples_per_sec = K * n_latent_sites / dt

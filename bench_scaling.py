@@ -24,13 +24,24 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def time_step(step, state, n=10):
-    state, elbo = step(state, jax.random.key(0))
-    jax.block_until_ready(elbo)
-    t0 = time.perf_counter()
-    for i in range(1, n + 1):
-        state, elbo = step(state, jax.random.key(i))
-    jax.block_until_ready(elbo)
-    return (time.perf_counter() - t0) / n, float(elbo)
+    """Per-step time by the slope between two loop lengths, each ended by a
+    host *fetch* of the result.  In this environment device buffers travel a
+    remote tunnel whose ``block_until_ready`` can return before execution
+    finishes — only a value transfer is a reliable completion barrier; the
+    two-length slope cancels the constant fetch/dispatch overhead."""
+    import numpy as np
+    state0 = state
+    state, elbo = step(state0, jax.random.key(0))
+    float(np.asarray(elbo))                      # compile + settle
+    totals = {}
+    for N in (n, 4 * n):
+        state = state0
+        t0 = time.perf_counter()
+        for i in range(N):
+            state, elbo = step(state, jax.random.key(i + 1))
+        v = float(np.asarray(elbo))
+        totals[N] = time.perf_counter() - t0
+    return (totals[4 * n] - totals[n]) / (3 * n), v
 
 
 def _grouped_movielens():

@@ -60,12 +60,23 @@ def _load(files):
     return runs
 
 
-def _aggregate(runs):
-    """Group runner JSONs by (model, method, K, lr); stack seeds."""
+def _aggregate(runs, best_lr=False):
+    """Group runner JSONs by (model, method, K, lr); stack seeds.  With
+    ``best_lr``, keep per (model, method, K) only the lr with the best
+    mean final ELBO (reference ``QEM_paper_plots/preprocess.py`` selection)."""
     groups = defaultdict(list)
     for r in runs:
         groups[(r["model"], r["method"], r["K"], r.get("lr"))].append(r)
-    return groups
+    if not best_lr:
+        return groups
+    best = {}
+    for (m, meth, K, lr), rs in groups.items():
+        score = np.mean([r["elbos"][-1] for r in rs])
+        key = (m, meth, K)
+        if key not in best or score > best[key][0]:
+            best[key] = (score, lr)
+    return {k: rs for k, rs in groups.items()
+            if best[(k[0], k[1], k[2])][1] == k[3]}
 
 
 def _band(ax, xs, ys_list, label, colour, ls, window):
@@ -79,12 +90,13 @@ def _band(ax, xs, ys_list, label, colour, ls, window):
         ax.fill_between(xs, m - se, m + se, color=colour, alpha=0.15, lw=0)
 
 
-def plot_qem(files, out, x_time=False, window=1, compare_reparams=False):
+def plot_qem(files, out, x_time=False, window=1, compare_reparams=False,
+             best_lr=False):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    groups = _aggregate(_load(files))
+    groups = _aggregate(_load(files), best_lr=best_lr)
     models = sorted({m for (m, *_rest) in groups})
     if compare_reparams:
         models = sorted({m.replace("_reparam", "") for m in models})
@@ -165,6 +177,8 @@ def main(argv=None):
     q.add_argument("--time", action="store_true", help="x axis = cumulative time")
     q.add_argument("--window", type=int, default=1, help="smoothing window")
     q.add_argument("--compare-reparams", action="store_true")
+    q.add_argument("--best-lr", action="store_true",
+                   help="keep only the best lr per (model, method, K)")
     m = sub.add_parser("moments", help="moment-MSE vs K figure")
     m.add_argument("files", nargs="+")
     m.add_argument("-o", "--out", default="moments_paper.png")
@@ -172,7 +186,7 @@ def main(argv=None):
 
     if args.cmd == "qem":
         plot_qem(args.files, args.out, x_time=args.time, window=args.window,
-                 compare_reparams=args.compare_reparams)
+                 compare_reparams=args.compare_reparams, best_lr=args.best_lr)
     else:
         plot_moments(args.files, args.out)
 
