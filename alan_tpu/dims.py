@@ -107,6 +107,10 @@ class DT:
 
     # -- arithmetic ------------------------------------------------------
     def _binop(self, other, f):
+        if getattr(other, "__lazy_dt__", False):
+            # lazy factored log-prob (ops/lowrank.LowRankDT): let its
+            # reflected op absorb or materialise
+            return NotImplemented
         return elementwise(f, self, other)
 
     def __add__(self, o): return self._binop(o, jnp.add)
@@ -174,11 +178,15 @@ def is_dt(x) -> bool:
 def as_dt(x) -> DT:
     if isinstance(x, DT):
         return x
+    if getattr(x, "__lazy_dt__", False):
+        return x  # lazy factored log-prob: duck-types the DT dim protocol
     return DT(jnp.asarray(x), ())
 
 
 def dims_of(x) -> tuple[str, ...]:
-    return x.dims if isinstance(x, DT) else ()
+    if isinstance(x, DT) or getattr(x, "__lazy_dt__", False):
+        return x.dims
+    return ()
 
 
 def pos_shape(x):

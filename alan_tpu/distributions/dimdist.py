@@ -126,9 +126,16 @@ class DimDist:
         # an exp-family density factorises into an MXU contraction instead of
         # O(K^2 * plate * event) VPU broadcasting (ops/lowrank.py).
         from ..ops.lowrank import (LOWRANK_FAMILIES, lowrank_applicable,
-                                   lowrank_logprob)
+                                   lowrank_logprob, lowrank_logprob_lazy,
+                                   lowrank_lazy_preferred)
         if self.family.name in LOWRANK_FAMILIES and lowrank_applicable(
                 self.family.name, x, self.params, self.arg_dims):
+            if lowrank_lazy_preferred(x, self.params):
+                # lazy: the consuming K-contraction fuses the cross product
+                # in VMEM (ops/pallas_lowrank.py) so it never hits HBM —
+                # routed when the dense cross tensor would strain/overflow
+                # HBM (see lowrank_lazy_preferred for measurements).
+                return lowrank_logprob_lazy(self.family.name, x, self.params)
             return lowrank_logprob(self.family.name, x, self.params)
 
         union = unify_dims([x] + list(self.params.values()))

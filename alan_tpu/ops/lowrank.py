@@ -65,6 +65,35 @@ def _threshold() -> int:
     return int(os.environ.get("ALAN_TPU_LOWRANK_MIN", str(1 << 28)))
 
 
+def lowrank_lazy_preferred(x, params) -> bool:
+    """Route to the *lazy* factored form (``LowRankDT`` + the fused Pallas
+    contraction) instead of the dense matmul.
+
+    Measured on a v5e (grouped movielens QEM step): the fused kernel LOSES
+    end-to-end while the cross product still fits HBM — the step is
+    MXU-bound at these feature counts (F≈36), XLA's single large GEMM beats
+    the tiled kernel, and the bandwidth the fusion saves wasn't the
+    bottleneck (K=300: 1.15→3.34 ms; K=1000: 11.98→16.45 ms).  Its win is
+    *capacity*: the K²·plate tensor never exists, so K keeps scaling past
+    the point where the dense path OOMs 16 GB HBM (K=3000 grouped movielens
+    ⇒ a 10.8 GB cross product).  Default: lazy only above
+    ``ALAN_TPU_LAZY_LOWRANK_MIN`` cross-product elements (2^30 ≈ 4.3 GB
+    f32).  ``ALAN_TPU_LAZY_LOWRANK=1`` forces it everywhere;
+    ``ALAN_TPU_NO_LAZY_LOWRANK=1`` kills it."""
+    if os.environ.get("ALAN_TPU_NO_LAZY_LOWRANK") == "1":
+        return False
+    if (os.environ.get("ALAN_TPU_LAZY_LOWRANK") == "1"
+            or os.environ.get("ALAN_TPU_LAZY_LOWRANK_INTERPRET") == "1"):
+        return True
+    x = as_dt(x)
+    pvals = [as_dt(v) for v in params.values()]
+    sizes = dimsizes_of(x, *pvals)
+    # elements of the cross tensor the dense path would materialise
+    cross = math.prod(sizes.values())
+    return cross >= int(os.environ.get("ALAN_TPU_LAZY_LOWRANK_MIN",
+                                       str(1 << 30)))
+
+
 def lowrank_applicable(family_name, x, params, arg_dims) -> bool:
     """Route to the factored path when the sample and the parameters carry
     disjoint named dims (a genuine cross product) big enough to matter, and
@@ -191,6 +220,264 @@ def lowrank_logprob(family_name, x, params) -> DT:
         res = res + DT(Hx.reshape(tuple(sizes[d] for d in shared + x_only)),
                        shared + x_only)
     return res
+
+
+# ---- lazy factored form ----------------------------------------------------
+#
+# ``lowrank_logprob`` still *materialises* the cross-K product (as one MXU
+# matmul).  The lazy form below keeps the factored operands (U, V) plus
+# additive side terms symbolic until the K-contraction consumes the factor,
+# at which point ``alan_tpu.reduce_ks.logsumexp_sum`` hands it to the fused
+# Pallas kernel (``ops/pallas_lowrank.py``) — the K²·plate tensor then never
+# exists in HBM, forward or backward.  Anywhere else the object materialises
+# to a plain DT, reproducing the dense path exactly.
+
+
+def _as_feat(terms, dims_order, sizes, pos) -> DT:
+    """Stack feature terms into one DT with dims ``dims_order`` and a single
+    positional axis of length ``len(terms) * prod(pos)``."""
+    cols = []
+    nd = len(dims_order)
+    for t in terms:
+        a = expand_to(t, dims_order)
+        own_pos = a.shape[nd:]
+        if len(own_pos) < len(pos):
+            a = a.reshape(a.shape[:nd] + (1,) * (len(pos) - len(own_pos))
+                          + own_pos)
+        full = tuple(sizes[d] for d in dims_order) + tuple(pos)
+        cols.append(jnp.broadcast_to(a, full).reshape(full[:nd] + (-1,)))
+    return DT(jnp.concatenate(cols, axis=-1) if len(cols) > 1 else cols[0],
+              tuple(dims_order))
+
+
+def _side_sum(t, dims_order, sizes, pos) -> DT:
+    """Positional-sum of a side term, broadcast over ``pos`` first."""
+    return DT(_as_feat([t], dims_order, sizes, pos).data.sum(-1),
+              tuple(dims_order))
+
+
+class LowRankDT:
+    """Lazy cross-K factored log-density: semantically the DT
+
+        lp[shared, x_dims, p_dims] = U · V  (+ x_side) (+ p_side)
+
+    with U carrying (shared, x_dims) and V (shared, p_dims), inner product
+    over one positional feature axis.  Duck-types the DT dim protocol so it
+    can ride the contraction planner; ``+``/``-`` absorb terms that live on
+    one side and fall back to ``materialize()`` otherwise.
+    """
+    __lazy_dt__ = True
+
+    def __init__(self, U: DT, V: DT, shared, x_dims, p_dims, sizes,
+                 x_side: DT | None = None, p_side: DT | None = None):
+        self.U, self.V = U, V
+        self.shared = tuple(shared)
+        self.x_dims = tuple(x_dims)
+        self.p_dims = tuple(p_dims)
+        self.sizes = dict(sizes)
+        self.x_side, self.p_side = x_side, p_side
+
+    # -- DT dim protocol --
+    @property
+    def dims(self):
+        return self.shared + self.x_dims + self.p_dims
+
+    @property
+    def pos_ndim(self):
+        return 0
+
+    @property
+    def pos_shape(self):
+        return ()
+
+    def dim_size(self, d):
+        return self.sizes[d]
+
+    def dimsizes(self):
+        return {d: self.sizes[d] for d in self.dims}
+
+    def __repr__(self):
+        return (f"LowRankDT(shared={self.shared}, x={self.x_dims}, "
+                f"p={self.p_dims}, F={self.U.pos_shape[-1]})")
+
+    # -- arithmetic: absorb one-sided terms, else materialise --
+    def _replace(self, **kw):
+        args = dict(U=self.U, V=self.V, shared=self.shared,
+                    x_dims=self.x_dims, p_dims=self.p_dims, sizes=self.sizes,
+                    x_side=self.x_side, p_side=self.p_side)
+        args.update(kw)
+        return LowRankDT(**args)
+
+    def _try_absorb(self, o, neg=False):
+        if getattr(o, "__lazy_dt__", False):
+            return None
+        if isinstance(o, (int, float)):
+            if o == 0:
+                return self
+            o = DT(jnp.asarray(o, jnp.float32), ())
+        elif isinstance(o, DT):
+            if o.pos_ndim != 0:
+                return None
+        elif hasattr(o, "ndim") and jnp.ndim(o) == 0:
+            o = DT(jnp.asarray(o), ())
+        else:
+            return None
+        if neg:
+            o = -o
+        od = set(o.dims)
+        if od <= set(self.shared) | set(self.x_dims):
+            return self._replace(
+                x_side=o if self.x_side is None else self.x_side + o)
+        if od <= set(self.shared) | set(self.p_dims):
+            return self._replace(
+                p_side=o if self.p_side is None else self.p_side + o)
+        return None
+
+    def __add__(self, o):
+        r = self._try_absorb(o)
+        if r is not None:
+            return r
+        o = o.materialize() if getattr(o, "__lazy_dt__", False) else o
+        return self.materialize() + o
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        r = self._try_absorb(o, neg=True)
+        if r is not None:
+            return r
+        o = o.materialize() if getattr(o, "__lazy_dt__", False) else o
+        return self.materialize() - o
+
+    def __rsub__(self, o):
+        return as_dt(o) - self.materialize()
+
+    def __neg__(self):
+        return -self.materialize()
+
+    # -- evaluation --
+    def materialize(self) -> DT:
+        """Dense evaluation — identical algebra to ``lowrank_logprob``."""
+        sizes = self.sizes
+        S = math.prod(sizes[d] for d in self.shared) if self.shared else 1
+        X = math.prod(sizes[d] for d in self.x_dims) if self.x_dims else 1
+        P = math.prod(sizes[d] for d in self.p_dims) if self.p_dims else 1
+        u = self.U.with_dims_front(list(self.shared + self.x_dims))
+        v = self.V.with_dims_front(list(self.shared + self.p_dims))
+        out = jax.lax.dot_general(
+            u.data.reshape(S, X, -1), v.data.reshape(S, P, -1),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        out_dims = self.shared + self.x_dims + self.p_dims
+        res = DT(out.reshape(tuple(sizes[d] for d in out_dims)), out_dims)
+        if self.x_side is not None:
+            res = res + self.x_side
+        if self.p_side is not None:
+            res = res + self.p_side
+        return res
+
+    def contract(self, Ks, others) -> DT | None:
+        """``logsumexp_{Ks}(self + Σ others)`` via the fused kernel, or
+        None if these factors don't fit the fused form (caller falls back
+        to ``materialize()``)."""
+        from .pallas_lowrank import (fused_available, lowrank_logsumexp,
+                                     run_interpret)
+        Kset = set(Ks)
+        if not Kset or not Kset <= set(self.dims):
+            return None
+        if any(d in Kset for d in self.shared):
+            return None
+        red_x = [d for d in self.x_dims if d in Kset]
+        red_p = [d for d in self.p_dims if d in Kset]
+        if not red_x:
+            if not red_p:
+                return None
+            # the reduction hits only the parameter side (e.g. an observation
+            # factor whose params carry the parent's K-dim): the factored form
+            # is symmetric in (U, x) <-> (V, p), so swap roles and recurse.
+            swapped = LowRankDT(self.V, self.U, self.shared, self.p_dims,
+                                self.x_dims, self.sizes,
+                                x_side=self.p_side, p_side=self.x_side)
+            return swapped.contract(Ks, others)
+
+        x_set = set(self.shared) | set(self.x_dims)
+        p_set = set(self.shared) | set(self.p_dims)
+        x_terms = [] if self.x_side is None else [self.x_side]
+        p_terms = [] if self.p_side is None else [self.p_side]
+        for o in others:
+            if getattr(o, "__lazy_dt__", False):
+                return None
+            o = as_dt(o)
+            if o.pos_ndim != 0:
+                return None
+            if set(o.dims) <= x_set:
+                x_terms.append(o)
+            elif set(o.dims) <= p_set:
+                p_terms.append(o)
+            else:
+                return None
+
+        sizes = self.sizes
+        kept_x = [d for d in self.x_dims if d not in Kset]
+        S = math.prod(sizes[d] for d in self.shared) if self.shared else 1
+        P = math.prod(sizes[d] for d in kept_x) if kept_x else 1
+        I = math.prod(sizes[d] for d in red_x)
+        J = math.prod(sizes[d] for d in self.p_dims) if self.p_dims else 1
+        F = self.U.pos_shape[-1]
+        if not fused_available(S, P, I, J, F):
+            return None
+
+        u_order = list(self.shared) + kept_x + red_x
+        U4 = (self.U.with_dims_front(u_order)
+              .data.reshape(S, P, I, F).astype(jnp.float32))
+        V3 = (self.V.with_dims_front(list(self.shared + self.p_dims))
+              .data.reshape(S, J, F).astype(jnp.float32))
+        if x_terms:
+            d_total = x_terms[0]
+            for t in x_terms[1:]:
+                d_total = d_total + t
+            D3 = jnp.broadcast_to(
+                expand_to(d_total, u_order),
+                tuple(sizes[d] for d in u_order)).reshape(S, P, I)
+            D3 = D3.astype(jnp.float32)
+        else:
+            D3 = jnp.zeros((S, P, I), jnp.float32)
+
+        out = lowrank_logsumexp(U4, V3, D3, run_interpret())
+        out_dims = tuple(self.shared) + tuple(kept_x) + self.p_dims
+        res = DT(out.reshape(tuple(sizes[d] for d in out_dims)), out_dims)
+        for t in p_terms:
+            res = res + t
+        if red_p:
+            from ..dims import logsumexp_dims
+            res = logsumexp_dims(res, tuple(red_p))
+        return res
+
+
+def lowrank_logprob_lazy(family_name, x, params) -> LowRankDT:
+    """Lazy counterpart of ``lowrank_logprob``: same factored algebra, the
+    cross product deferred to the consuming K-contraction."""
+    x = as_dt(x)
+    pvals = {k: as_dt(v) for k, v in params.items()}
+    arg_dims = tuple(unify_dims(pvals.values()))
+    union = tuple(unify_dims([x, *pvals.values()]))
+    x_only = tuple(d for d in x.dims if d not in arg_dims)
+    p_only = tuple(d for d in arg_dims if d not in x.dims)
+    shared = tuple(d for d in union if d not in x_only and d not in p_only)
+    sizes = dimsizes_of(x, *pvals.values())
+    pos = jnp.broadcast_shapes(x.pos_shape,
+                               *[v.pos_shape for v in pvals.values()])
+
+    u_feats, v_coefs, c_p, c_x = _factored(family_name, x, pvals, x_only)
+
+    U = _as_feat(u_feats, shared + x_only, sizes, pos)
+    V = _as_feat(v_coefs, shared + p_only, sizes, pos)
+    p_side = _side_sum(c_p, shared + p_only, sizes, pos)
+    x_side = (None if c_x is None
+              else _side_sum(c_x, shared + x_only, sizes, pos))
+    return LowRankDT(U, V, shared, x_only, p_only, sizes,
+                     x_side=x_side, p_side=p_side)
 
 
 # backwards-compatible aliases (first landing exposed Normal-only names)

@@ -57,6 +57,23 @@ def logsumexp_sum(Ks_to_sum, *lps) -> DT:
     factors (reference ``reduce_Ks.py:249-251``).  Pairwise steps with a
     large contracted dimension are reformulated as log-space batched matmuls
     so they ride the MXU (``alan_tpu.ops.contraction``)."""
+    lazy_idx = [i for i, lp in enumerate(lps)
+                if getattr(lp, "__lazy_dt__", False)]
+    if lazy_idx:
+        # lazy factored log-prob (ops/lowrank.LowRankDT): fuse the cross-K
+        # product into the contraction so it never exists in HBM; fall back
+        # to the dense form when the step doesn't fit the fused shape.
+        if len(lazy_idx) == 1:
+            lz = lps[lazy_idx[0]]
+            out = lz.contract(tuple(k for k in Ks_to_sum if k in
+                                    set().union(*[set(dims_of(lp))
+                                                  for lp in lps])),
+                              [lp for i, lp in enumerate(lps)
+                               if i != lazy_idx[0]])
+            if out is not None:
+                return out
+        lps = tuple(lp.materialize() if getattr(lp, "__lazy_dt__", False)
+                    else lp for lp in lps)
     if _USE_MATMUL_CONTRACT and len(lps) == 2:
         a, b = as_dt(lps[0]), as_dt(lps[1])
         shared = [k for k in Ks_to_sum if k in a.dims and k in b.dims]
@@ -150,6 +167,10 @@ def sample_Ks(lps, Ks_to_sum, N_dim: str, num_samples: int, keygen,
 
     indices = dict(indices or {})
     for step_lps, kdims in zip(lps_for_sampling[::-1], Ks_per_step[::-1]):
+        # reverse replay indexes into the factors: lazy factored log-probs
+        # (ops/lowrank.LowRankDT) must be dense here
+        step_lps = [lp.materialize() if getattr(lp, "__lazy_dt__", False)
+                    else lp for lp in step_lps]
         lp = step_lps[0]
         for x in step_lps[1:]:
             lp = lp + x
@@ -215,6 +236,8 @@ def sample_Ks_timeseries(lps, ts_Ks, ts_init_Ks, N_dim, num_samples, T_dim,
                                        ts_init_Ks[::-1]):
         assert len(kdims) == 1
         K_dim = kdims[0]
+        step_lps = [lp.materialize() if getattr(lp, "__lazy_dt__", False)
+                    else lp for lp in step_lps]
         lp = step_lps[0]
         for x in step_lps[1:]:
             lp = lp + x

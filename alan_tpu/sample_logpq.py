@@ -72,6 +72,10 @@ def logPQ_sample(name: Optional[str], P: Plate, Q: Plate, sample: dict,
 
 
 def _index_all(lp, indices):
+    if getattr(lp, "__lazy_dt__", False):
+        # lazy factored log-prob: reverse-replay sampling indexes into the
+        # factor, so the dense form is needed here
+        lp = lp.materialize()
     for dim in [d for d in dims_of(lp) if d in indices]:
         lp = dt_index(lp, dim, indices[dim])
     return lp
