@@ -245,9 +245,38 @@ def global_qem(problem, K: int, lr=0.1, **_):
     return step, state0
 
 
-def fit(problem, method="vi", K=10, iters=100, lr=None, key=None, **kwargs):
+def scan_steps(step, n_steps: int, unroll: int = 1):
+    """Fuse ``n_steps`` training steps into ONE XLA program via ``lax.scan``.
+
+    ``step(state, key) -> (state, elbo)`` (any factory's output) becomes
+    ``run(state, key) -> (state, elbos[n_steps])`` where step ``i`` uses
+    ``fold_in(key, i)`` — the same key schedule as the eager loop in ``fit``.
+
+    This is the TPU execution mode the reference's eager per-iteration loop
+    (``examples/runner.py:178-187``) cannot express: a whole training segment
+    compiles to a single device program, so per-step host dispatch (dominant
+    at small K — the MovieLens K=30 step computes in ~0.3 ms) disappears
+    entirely, and XLA can overlap/pipeline across iterations."""
+    inner = getattr(step, "__wrapped__", step)  # avoid jit-within-jit retrace
+
+    @jax.jit
+    def run(state, key):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(n_steps))
+        state, elbos = jax.lax.scan(inner, state, keys, unroll=unroll)
+        return state, elbos
+
+    return run
+
+
+def fit(problem, method="vi", K=10, iters=100, lr=None, key=None,
+        fuse_iters=False, **kwargs):
     """Convenience loop: run ``iters`` fused steps, write the final state back
-    into the problem's BoundPlates, return the per-iteration ELBOs."""
+    into the problem's BoundPlates, return the per-iteration ELBOs.
+
+    ``fuse_iters=True`` runs all iterations inside one ``lax.scan`` program
+    (see ``scan_steps``) — fastest when per-step compute is small; the eager
+    loop (default) lets callers interleave host-side work per iteration."""
     if key is None:
         key = jax.random.key(0)
     defaults = {"vi": 0.01, "rws": 0.01, "qem": 0.1,
@@ -256,10 +285,14 @@ def fit(problem, method="vi", K=10, iters=100, lr=None, key=None, **kwargs):
     factory = {"vi": vi, "rws": rws, "qem": qem, "global_vi": global_vi,
                "global_rws": global_rws, "global_qem": global_qem}[method]
     step, state = factory(problem, K, lr=lr, **kwargs)
-    elbos = []
-    for i in range(iters):
-        state, elbo = step(state, jax.random.fold_in(key, i))
-        elbos.append(elbo)
+    if fuse_iters:
+        state, elbos = scan_steps(step, iters)(state, key)
+        elbos = list(elbos)
+    else:
+        elbos = []
+        for i in range(iters):
+            state, elbo = step(state, jax.random.fold_in(key, i))
+            elbos.append(elbo)
     if method in ("vi", "rws", "global_vi", "global_rws"):
         stateP, stateQ, _ = state
     else:

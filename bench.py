@@ -58,22 +58,27 @@ def bench_alan_tpu():
     step, state0 = train.qem(problem, K, lr=0.1)
     key = jax.random.key(7)
 
+    # the TPU execution mode: the whole training segment is ONE XLA program
+    # (lax.scan over steps) — no per-step host dispatch (train.scan_steps;
+    # measured 2.5x over the per-step dispatch loop at K=30)
+    run_short = train.scan_steps(step, N_STEPS)
+    run_long = train.scan_steps(step, 4 * N_STEPS)
+
     # compile + warm up (a host FETCH is the only reliable completion
     # barrier over the remote-TPU tunnel; block_until_ready can return
     # before execution finishes there)
     import numpy as np
-    state, elbo = step(state0, jax.random.fold_in(key, 0))
-    float(np.asarray(elbo))
+    for run in (run_short, run_long):
+        _, elbos = run(state0, key)
+        float(np.asarray(elbos[-1]))
 
-    # per-step time = slope between two loop lengths, each ended by a fetch
-    # (cancels the constant fetch/dispatch overhead)
+    # per-step time = slope between the two scan lengths, each ended by a
+    # fetch (cancels the constant fetch/dispatch overhead)
     totals = {}
-    for N in (N_STEPS, 4 * N_STEPS):
-        state = state0
+    for N, run in ((N_STEPS, run_short), (4 * N_STEPS, run_long)):
         t0 = time.perf_counter()
-        for i in range(N):
-            state, elbo = step(state, jax.random.fold_in(key, i + 1))
-        float(np.asarray(elbo))
+        _, elbos = run(state0, key)
+        elbo = float(np.asarray(elbos[-1]))
         totals[N] = time.perf_counter() - t0
     dt = (totals[4 * N_STEPS] - totals[N_STEPS]) / (3 * N_STEPS)
 

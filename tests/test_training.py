@@ -191,3 +191,18 @@ def test_step_state_signature_stable():
         diffs = [(jax.tree_util.keystr(p0), v0, v1)
                  for (p0, v0), (_, v1) in zip(f0, f1) if v0 != v1]
         assert not diffs, (factory.__name__, diffs[:5])
+
+
+@pytest.mark.parametrize("method", ["qem", "vi", "rws"])
+def test_scan_steps_matches_eager_loop(method):
+    # fuse_iters runs the whole loop as one lax.scan program; the key
+    # schedule (fold_in(key, i)) matches the eager loop, so the per-step
+    # ELBO trajectories must agree.
+    prob, _, _ = _problem("qem" if method == "qem" else "opt")
+    e_eager = train.fit(prob, method=method, K=7, iters=5,
+                        key=jax.random.key(3))
+    prob2, _, _ = _problem("qem" if method == "qem" else "opt")
+    e_scan = train.fit(prob2, method=method, K=7, iters=5,
+                       key=jax.random.key(3), fuse_iters=True)
+    np.testing.assert_allclose(np.asarray(e_eager), np.asarray(e_scan),
+                               rtol=2e-5, atol=2e-5)
