@@ -269,6 +269,35 @@ def scan_steps(step, n_steps: int, unroll: int = 1):
     return run
 
 
+def vmap_runs(step, n_steps: int, n_runs: int, unroll: int = 1):
+    """Run ``n_runs`` independent training runs of ``n_steps`` each as ONE
+    XLA program: ``vmap`` over per-run keys of the ``lax.scan``-fused loop.
+
+    The reference executes its seed grids serially, one eager run at a time
+    (``examples/runner.py:104-222``); at small K a single run leaves the MXU
+    idle, so batching whole runs is nearly free on-chip.  Run ``r`` uses key
+    ``fold_in(key, r)`` and its step ``i`` uses ``fold_in(fold_in(key, r), i)``
+    — identical to calling ``scan_steps(step, n_steps)(state0, fold_in(key, r))``
+    per run (tested).
+
+    Returns ``many(state0, key) -> (states, elbos)`` with every leaf of
+    ``states`` and ``elbos`` carrying a leading ``n_runs`` axis."""
+    inner = getattr(step, "__wrapped__", step)
+
+    def one(state, key):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(n_steps))
+        return jax.lax.scan(inner, state, keys, unroll=unroll)
+
+    @jax.jit
+    def many(state0, key):
+        run_keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+            jnp.arange(n_runs))
+        return jax.vmap(one, in_axes=(None, 0))(state0, run_keys)
+
+    return many
+
+
 def fit(problem, method="vi", K=10, iters=100, lr=None, key=None,
         fuse_iters=False, **kwargs):
     """Convenience loop: run ``iters`` fused steps, write the final state back

@@ -31,7 +31,8 @@ def _pq_of(state, method):
 
 
 def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
-        Q_param_type=None, split=None, seed=0, out=None, predll_every=0):
+        Q_param_type=None, split=None, seed=0, out=None, predll_every=0,
+        fuse_iters=False, runs=1):
     from alan_tpu import train, Split, no_checkpoint
 
     model = __import__(model_name)
@@ -74,23 +75,54 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
         predll_iters.append(i)
 
     key = jax.random.key(seed + 1)
-    elbos, iter_times = [], []
-    # warm-up / compile
-    t0 = time.time()
-    state, elbo = step(state, jax.random.fold_in(key, 0))
-    jax.block_until_ready(elbo)
-    compile_time = time.time() - t0
-    elbos.append(float(elbo))
-    iter_times.append(0.0)
-    eval_pll(0, state)
-
-    for i in range(1, iters):
+    per_run_elbos = None
+    if fuse_iters or runs > 1:
+        # whole-loop fusion: all iterations (x all runs) compile into ONE
+        # XLA program — no per-iteration host dispatch, and independent
+        # seed-grid runs batch onto the chip (train.scan_steps / vmap_runs).
+        if predll_every:
+            raise ValueError("--predll-every needs the eager per-iteration "
+                             "loop; drop --fuse-iters/--runs")
+        state0 = state
+        loop = (train.vmap_runs(step, iters, runs) if runs > 1
+                else train.scan_steps(step, iters))
         t0 = time.time()
-        state, elbo = step(state, jax.random.fold_in(key, i))
+        state, elbos_arr = loop(state0, key)
+        jax.block_until_ready(elbos_arr)
+        compile_time = time.time() - t0
+        t0 = time.time()
+        state, elbos_arr = loop(state0, key)
+        jax.block_until_ready(elbos_arr)
+        total = time.time() - t0
+        compile_time -= total
+        iter_times = [total / (iters * runs)] * iters
+        import numpy as _np
+        e = _np.asarray(elbos_arr)
+        if runs > 1:
+            per_run_elbos = e.tolist()
+            best = int(e[:, -1].argmax())
+            state = jax.tree.map(lambda x: x[best], state)
+            elbos = e[best].tolist()
+        else:
+            elbos = e.tolist()
+    else:
+        elbos, iter_times = [], []
+        # warm-up / compile
+        t0 = time.time()
+        state, elbo = step(state, jax.random.fold_in(key, 0))
         jax.block_until_ready(elbo)
-        iter_times.append(time.time() - t0)
+        compile_time = time.time() - t0
         elbos.append(float(elbo))
-        eval_pll(i, state)
+        iter_times.append(0.0)
+        eval_pll(0, state)
+
+        for i in range(1, iters):
+            t0 = time.time()
+            state, elbo = step(state, jax.random.fold_in(key, i))
+            jax.block_until_ready(elbo)
+            iter_times.append(time.time() - t0)
+            elbos.append(float(elbo))
+            eval_pll(i, state)
 
     # write trained state back
     stateP, stateQ = _pq_of(state, method)
@@ -104,6 +136,11 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
         "elbo_start": elbos[0], "elbo_end": elbos[-1],
         "elbos": elbos, "iter_times": iter_times, "seed": seed,
     }
+    if runs > 1:
+        result["runs"] = runs
+        result["per_run_elbos"] = per_run_elbos
+    if fuse_iters or runs > 1:
+        result["fused_loop"] = True
     if p_lls:
         result["p_lls"] = p_lls
         result["predll_iters"] = predll_iters
@@ -141,15 +178,23 @@ def main():
     ap.add_argument("--split", nargs=2, metavar=("PLATE", "SIZE"), default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--fuse-iters", action="store_true",
+                    help="compile the whole training loop into one XLA "
+                         "program (lax.scan over iterations)")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="batch this many independent seed-runs into one "
+                         "program (vmap over runs; implies --fuse-iters)")
     args = ap.parse_args()
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
     split = (args.split[0], int(args.split[1])) if args.split else None
     result = run(args.model, args.method, args.K, args.iters, args.lr,
                  args.predll_N, args.Q_param_type, split, args.seed, args.out,
-                 predll_every=args.predll_every)
+                 predll_every=args.predll_every, fuse_iters=args.fuse_iters,
+                 runs=args.runs)
     print(json.dumps({k: v for k, v in result.items()
-                      if k not in ("elbos", "iter_times", "p_lls")}, indent=1))
+                      if k not in ("elbos", "iter_times", "p_lls",
+                                   "per_run_elbos")}, indent=1))
 
 
 if __name__ == "__main__":

@@ -206,3 +206,20 @@ def test_scan_steps_matches_eager_loop(method):
                        key=jax.random.key(3), fuse_iters=True)
     np.testing.assert_allclose(np.asarray(e_eager), np.asarray(e_scan),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_vmap_runs_matches_per_run_scan():
+    # each row of vmap_runs equals an independent scanned run with the
+    # corresponding folded key
+    prob, _, _ = _problem("qem")
+    step, state0 = train.qem(prob, K=7, lr=0.2)
+    key = jax.random.key(11)
+    states, elbos = train.vmap_runs(step, n_steps=4, n_runs=3)(state0, key)
+    assert elbos.shape == (3, 4)
+    run = train.scan_steps(step, 4)
+    for r in range(3):
+        _, e = run(state0, jax.random.fold_in(key, r))
+        np.testing.assert_allclose(np.asarray(elbos[r]), np.asarray(e),
+                                   rtol=2e-5, atol=2e-5)
+    # distinct keys => distinct trajectories
+    assert not np.allclose(np.asarray(elbos[0]), np.asarray(elbos[1]))
