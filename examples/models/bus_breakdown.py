@@ -13,11 +13,32 @@ bus_company_name_dim = 4
 name = "bus_breakdown"
 
 
-def load_data_covariates(key=None, run=0, fake_data=True):
+def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
     if key is None:
         key = jax.random.key(run)
     platesizes = {'plate_Year': M, 'plate_Borough': J, 'plate_ID': I}
     all_platesizes = {'plate_Year': M, 'plate_Borough': J, 'plate_ID': 2 * I}
+
+    if not fake_data:
+        # reference file contract: bus_breakdown.py:11-21 (train/test pairs
+        # concatenated along plate_ID)
+        from _realdata import load_train_test
+        nm = ('plate_Year', 'plate_Borough', 'plate_ID')
+        rt, rt_all = load_train_test(data_dir, f"run_type_train_{run}",
+                                     f"run_type_test_{run}", axis=2)
+        bc, bc_all = load_train_test(data_dir, f"bus_company_name_train_{run}",
+                                     f"bus_company_name_test_{run}", axis=2)
+        y, y_all = load_train_test(data_dir, f"delay_train_{run}",
+                                   f"delay_test_{run}", axis=-1)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        covariates = {'run_type': named(f32(rt), *nm),
+                      'bus_company_name': named(f32(bc), *nm)}
+        all_covariates = {'run_type': named(f32(rt_all), *nm),
+                          'bus_company_name': named(f32(bc_all), *nm)}
+        data = {'obs': named(f32(y), *nm)}
+        all_data = {'obs': named(f32(y_all), *nm)}
+        return (platesizes, all_platesizes, data, all_data,
+                covariates, all_covariates)
 
     k1, k2, k3 = jax.random.split(key, 3)
     rt = jax.random.bernoulli(k1, 0.5, (M, J, 2 * I, run_type_dim)).astype(jnp.float32)
@@ -92,8 +113,9 @@ def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
     return Problem(P, Q, data)
 
 
-def load_and_generate_problem(key=None, Q_param_type="qem", run=0, fake_data=True):
+def load_and_generate_problem(key=None, Q_param_type="qem", run=0,
+                              fake_data=True, data_dir="data/"):
     platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data)
+        load_data_covariates(key, run, fake_data, data_dir=data_dir)
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
     return problem, all_data, all_covariates, all_platesizes

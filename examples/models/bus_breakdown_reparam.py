@@ -81,8 +81,9 @@ def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
     return Problem(P, Q, data)
 
 
-def load_and_generate_problem(key=None, Q_param_type="qem", run=0, fake_data=True):
+def load_and_generate_problem(key=None, Q_param_type="qem", run=0,
+                              fake_data=True, data_dir="data/"):
     platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data)
+        load_data_covariates(key, run, fake_data, data_dir=data_dir)
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
     return problem, all_data, all_covariates, all_platesizes

@@ -12,7 +12,7 @@ num_repeats, num_repeats_extended = 10, 12
 name = "chimpanzees"
 
 
-def load_data_covariates(key=None, run=0, fake_data=True):
+def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
     if key is None:
         key = jax.random.key(run)
     platesizes = {'plate_actors': num_actors, 'plate_blocks': num_blocks,
@@ -20,6 +20,26 @@ def load_data_covariates(key=None, run=0, fake_data=True):
     all_platesizes = {'plate_actors': num_actors, 'plate_blocks': num_blocks,
                       'plate_repeats': num_repeats_extended}
     names = ('plate_actors', 'plate_blocks', 'plate_repeats')
+
+    if not fake_data:
+        # reference file contract: chimpanzees.py:17-31 (train/test pairs
+        # concatenated along plate_repeats)
+        from _realdata import load_train_test
+        cond, cond_all = load_train_test(data_dir, "condition_train",
+                                         "condition_test", axis=-1)
+        pl, pl_all = load_train_test(data_dir, "prosoc_left_train",
+                                     "prosoc_left_test", axis=-1)
+        y, y_all = load_train_test(data_dir, "data_train", "data_test",
+                                   axis=-1)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        covariates = {'condition': named(f32(cond), *names),
+                      'prosoc_left': named(f32(pl), *names)}
+        all_covariates = {'condition': named(f32(cond_all), *names),
+                          'prosoc_left': named(f32(pl_all), *names)}
+        data = {'obs': named(f32(y), *names)}
+        all_data = {'obs': named(f32(y_all), *names)}
+        return (platesizes, all_platesizes, data, all_data,
+                covariates, all_covariates)
 
     k1, k2, k3 = jax.random.split(key, 3)
     shape = (num_actors, num_blocks, num_repeats_extended)
@@ -90,8 +110,9 @@ def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
     return Problem(P, Q, data)
 
 
-def load_and_generate_problem(key=None, Q_param_type="qem", run=0, fake_data=True):
+def load_and_generate_problem(key=None, Q_param_type="qem", run=0,
+                              fake_data=True, data_dir="data/"):
     platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data)
+        load_data_covariates(key, run, fake_data, data_dir=data_dir)
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
     return problem, all_data, all_covariates, all_platesizes

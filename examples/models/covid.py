@@ -16,9 +16,30 @@ nCMs = 11
 name = "covid"
 
 
-def load_data_covariates(key=None, run=0, fake_data=True, nRs=nRs, nDs=nDs):
+def load_data_covariates(key=None, run=0, fake_data=True, nRs=nRs, nDs=nDs,
+                         data_dir="data/"):
     if key is None:
         key = jax.random.key(run)
+
+    if not fake_data:
+        # reference file contract: covid.py:15-24 (pre-split train/all files;
+        # plate sizes derive from the tensors)
+        from _realdata import load_array
+        nm = ('nRs', 'nDs')
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        covariates, all_covariates = {}, {}
+        for var in ('ActiveCMs_NPIs', 'ActiveCMs_wearing', 'ActiveCMs_mobility'):
+            covariates[var] = named(f32(load_array(data_dir, var)), *nm)
+            all_covariates[var] = named(f32(load_array(data_dir, var + "_all")), *nm)
+        obs = load_array(data_dir, "obs")
+        obs_all = load_array(data_dir, "obs_all")
+        platesizes = {'nRs': obs.shape[0], 'nDs': obs.shape[1]}
+        all_platesizes = {'nRs': obs_all.shape[0], 'nDs': obs_all.shape[1]}
+        data = {'obs': named(f32(obs), *nm)}
+        all_data = {'obs': named(f32(obs_all), *nm)}
+        return (platesizes, all_platesizes, data, all_data,
+                covariates, all_covariates)
+
     nDs_train = int(nDs * 0.8)
     platesizes = {'nRs': nRs, 'nDs': nDs_train}
     all_platesizes = {'nRs': nRs, 'nDs': nDs}
@@ -118,8 +139,9 @@ def generate_problem(platesizes, data, covariates, Q_param_type="opt"):
     return Problem(P, Q, data)
 
 
-def load_and_generate_problem(key=None, Q_param_type="opt", run=0, fake_data=True):
+def load_and_generate_problem(key=None, Q_param_type="opt", run=0,
+                              fake_data=True, data_dir="data/"):
     platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data)
+        load_data_covariates(key, run, fake_data, data_dir=data_dir)
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
     return problem, all_data, all_covariates, all_platesizes

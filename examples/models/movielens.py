@@ -17,11 +17,27 @@ M, N = 300, 5
 name = "movielens"
 
 
-def load_data_covariates(key=None, run=0, fake_data=True, M=M, N=N):
+def load_data_covariates(key=None, run=0, fake_data=True, M=M, N=N,
+                         data_dir="data/"):
     if key is None:
         key = jax.random.key(run)
     platesizes = {'plate_1': M, 'plate_2': N}
     all_platesizes = {'plate_1': M, 'plate_2': 2 * N}
+
+    if not fake_data:
+        # reference file contract: movielens.py:12-22
+        from _realdata import load_train_test
+        x, x_all = load_train_test(data_dir, f"weights_{N}_{M}",
+                                   f"test_weights_{N}_{M}", axis=-2)
+        y, y_all = load_train_test(data_dir, f"data_y_{N}_{M}",
+                                   f"test_data_y_{N}_{M}", axis=-1)
+        nm = ('plate_1', 'plate_2')
+        covariates = {'x': named(jnp.asarray(x), *nm)}
+        all_covariates = {'x': named(jnp.asarray(x_all), *nm)}
+        data = {'obs': named(jnp.asarray(y, jnp.float32), *nm)}
+        all_data = {'obs': named(jnp.asarray(y_all, jnp.float32), *nm)}
+        return (platesizes, all_platesizes, data, all_data,
+                covariates, all_covariates)
 
     k1, k2 = jax.random.split(key)
     x_all = jax.random.normal(k1, (M, 2 * N, d_z))
@@ -81,8 +97,9 @@ def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
     return Problem(P, Q, data)
 
 
-def load_and_generate_problem(key=None, Q_param_type="qem", run=0, fake_data=True):
+def load_and_generate_problem(key=None, Q_param_type="qem", run=0,
+                              fake_data=True, data_dir="data/"):
     platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data)
+        load_data_covariates(key, run, fake_data, data_dir=data_dir)
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
     return problem, all_data, all_covariates, all_platesizes

@@ -12,7 +12,7 @@ I_extended = 300
 name = "occupancy"
 
 
-def load_data_covariates(key=None, run=0, fake_data=True):
+def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
     if key is None:
         key = jax.random.key(run)
     platesizes = {'plate_Years': M, 'plate_Birds': J, 'plate_Ids': I,
@@ -20,6 +20,27 @@ def load_data_covariates(key=None, run=0, fake_data=True):
     all_platesizes = {'plate_Years': M, 'plate_Birds': J, 'plate_Ids': I_extended,
                       'plate_Replicate': Returns}
     names3 = ('plate_Years', 'plate_Birds', 'plate_Ids')
+
+    if not fake_data:
+        # reference file contract: occupancy.py:17-26 (covariates cat along
+        # plate_Ids; obs [.., Ids, Replicate] cat along plate_Ids = axis -2)
+        from _realdata import load_train_test
+        w, w_all = load_train_test(data_dir, f"weather_train_{run}",
+                                   f"weather_test_{run}", axis=-1)
+        q, q_all = load_train_test(data_dir, f"quality_train_{run}",
+                                   f"quality_test_{run}", axis=-1)
+        y, y_all = load_train_test(data_dir, f"birds_train_{run}",
+                                   f"birds_test_{run}", axis=-2)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        covariates = {'weather': named(f32(w), *names3),
+                      'quality': named(f32(q), *names3)}
+        all_covariates = {'weather': named(f32(w_all), *names3),
+                          'quality': named(f32(q_all), *names3)}
+        nm4 = (*names3, 'plate_Replicate')
+        data = {'obs': named(f32(y), *nm4)}
+        all_data = {'obs': named(f32(y_all), *nm4)}
+        return (platesizes, all_platesizes, data, all_data,
+                covariates, all_covariates)
 
     k1, k2, k3 = jax.random.split(key, 3)
     weather = jax.random.normal(k1, (M, J, I_extended))
@@ -107,8 +128,9 @@ def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
     return Problem(P, Q, data)
 
 
-def load_and_generate_problem(key=None, Q_param_type="qem", run=0, fake_data=True):
+def load_and_generate_problem(key=None, Q_param_type="qem", run=0,
+                              fake_data=True, data_dir="data/"):
     platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data)
+        load_data_covariates(key, run, fake_data, data_dir=data_dir)
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
     return problem, all_data, all_covariates, all_platesizes

@@ -12,9 +12,31 @@ n_states, n_zips = 4, 100  # synthetic stand-in shapes
 name = "radon"
 
 
-def load_data_covariates(key=None, run=0, fake_data=True):
+def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
     if key is None:
         key = jax.random.key(run)
+
+    if not fake_data:
+        # reference file contract: radon.py:14-45 (plate sizes derive from
+        # the tensors; train = first half of the Zips axis)
+        from _realdata import load_array
+        log_radon = load_array(data_dir, "log_radon")
+        basement = load_array(data_dir, "basement")
+        log_u = load_array(data_dir, "log_u")
+        S, Z = log_radon.shape
+        platesizes = {'States': S, 'Zips': Z // 2}
+        all_platesizes = {'States': S, 'Zips': Z}
+        nm = ('States', 'Zips')
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        all_inputs = {'basement': named(f32(basement), *nm),
+                      'log_uranium': named(f32(log_u), *nm)}
+        train_inputs = {'basement': named(f32(basement[:, :Z // 2]), *nm),
+                        'log_uranium': named(f32(log_u[:, :Z // 2]), *nm)}
+        all_data = {'obs': named(f32(log_radon), *nm)}
+        data = {'obs': named(f32(log_radon[:, :Z // 2]), *nm)}
+        return (platesizes, all_platesizes, data, all_data,
+                train_inputs, all_inputs)
+
     platesizes = {'States': n_states, 'Zips': n_zips // 2}
     all_platesizes = {'States': n_states, 'Zips': n_zips}
 
@@ -78,8 +100,9 @@ def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
     return Problem(P, Q, data)
 
 
-def load_and_generate_problem(key=None, Q_param_type="qem", run=0, fake_data=True):
+def load_and_generate_problem(key=None, Q_param_type="qem", run=0,
+                              fake_data=True, data_dir="data/"):
     platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data)
+        load_data_covariates(key, run, fake_data, data_dir=data_dir)
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
     return problem, all_data, all_covariates, all_platesizes

@@ -32,15 +32,17 @@ def _pq_of(state, method):
 
 def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
         Q_param_type=None, split=None, seed=0, out=None, predll_every=0,
-        fuse_iters=False, runs=1):
+        fuse_iters=False, runs=1, data_dir=None):
     from alan_tpu import train, Split, no_checkpoint
 
     model = __import__(model_name)
     qtype = Q_param_type or ("opt" if "vi" in method or "rws" in method else "qem")
     if ("vi" in method or "rws" in method) and qtype == "qem":
         qtype = "opt"
+    lg_kwargs = {"fake_data": False, "data_dir": data_dir} if data_dir else {}
     problem, all_data, all_covariates, all_platesizes = \
-        model.load_and_generate_problem(key=jax.random.key(seed), Q_param_type=qtype)
+        model.load_and_generate_problem(key=jax.random.key(seed),
+                                        Q_param_type=qtype, **lg_kwargs)
 
     strategy = Split(*split) if split else no_checkpoint
     defaults = {"vi": 0.01, "rws": 0.01, "qem": 0.1,
@@ -184,6 +186,10 @@ def main():
     ap.add_argument("--runs", type=int, default=1,
                     help="batch this many independent seed-runs into one "
                          "program (vmap over runs; implies --fuse-iters)")
+    ap.add_argument("--data-dir", default=None,
+                    help="load the real dataset from this directory "
+                         "(reference .pt file-name contract; default: "
+                         "fake data generated from the prior)")
     args = ap.parse_args()
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
@@ -191,7 +197,7 @@ def main():
     result = run(args.model, args.method, args.K, args.iters, args.lr,
                  args.predll_N, args.Q_param_type, split, args.seed, args.out,
                  predll_every=args.predll_every, fuse_iters=args.fuse_iters,
-                 runs=args.runs)
+                 runs=args.runs, data_dir=args.data_dir)
     print(json.dumps({k: v for k, v in result.items()
                       if k not in ("elbos", "iter_times", "p_lls",
                                    "per_run_elbos")}, indent=1))
