@@ -122,11 +122,51 @@ def mesh_scaling(K=64):
     return out
 
 
+def grid_throughput(K=30, Rs=(1, 4, 8), n=20):
+    """Batched seed-grid throughput: R independent runs x n iters fused into
+    one program via ``train.vmap_runs`` (slope timing over two scan lengths,
+    best of 3)."""
+    import numpy as np
+    import movielens
+    from alan_tpu import train
+    with jax.default_device(jax.devices("cpu")[0]):
+        problem, _, _, _ = movielens.load_and_generate_problem(
+            key=jax.random.key(0), Q_param_type="qem")
+    step, state0 = train.qem(problem, K, lr=0.1)
+    key = jax.random.key(7)
+    out = {}
+    for R in Rs:
+        runs = {N: train.vmap_runs(step, N, R) for N in (n, 4 * n)}
+        for r in runs.values():             # compile + settle
+            _, e = r(state0, key)
+            float(np.asarray(e).ravel()[-1])
+        best = None
+        for _ in range(3):
+            t = {}
+            for N, r in runs.items():
+                t0 = time.perf_counter()
+                _, e = r(state0, key)
+                float(np.asarray(e).ravel()[-1])
+                t[N] = time.perf_counter() - t0
+            dt = (t[4 * n] - t[n]) / (3 * n)
+            best = dt if best is None else min(best, dt)
+        out[f"R{R}"] = {"iter_s": best, "run_iter_s": best / R}
+        print(f"R={R}: {best*1e3:.3f} ms/iter ({best/R*1e3:.3f} ms/run-iter)",
+              flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", action="store_true")
+    ap.add_argument("--grid", action="store_true")
     args = ap.parse_args()
-    result = {"mesh": mesh_scaling()} if args.mesh else {"k_sweep": k_sweep()}
+    if args.mesh:
+        result = {"mesh": mesh_scaling()}
+    elif args.grid:
+        result = {"grid_throughput_movielens_K30": grid_throughput()}
+    else:
+        result = {"k_sweep": k_sweep()}
     path = "BENCH_DETAIL.json"
     prev = {}
     if os.path.exists(path):
