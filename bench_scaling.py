@@ -156,15 +156,147 @@ def grid_throughput(K=30, Rs=(1, 4, 8), n=20):
     return out
 
 
+def canonical_models(K=30):
+    """Fused-training-step time for every canonical workload (BASELINE.md
+    model table) at K=30: QEM where the model's Q carries QEMParams, else
+    RWS (covid's Q is opt-parameterised, matching the reference grids)."""
+    from alan_tpu import train
+    out = {}
+    for name in ("movielens", "bus_breakdown", "chimpanzees", "occupancy",
+                 "radon", "covid"):
+        model = __import__(name)
+        for qtype, maker, kw in (("qem", train.qem, {"lr": 0.1}),
+                                 ("opt", train.rws, {"lr": 0.01})):
+            try:
+                with jax.default_device(jax.devices("cpu")[0]):
+                    problem, *_ = model.load_and_generate_problem(
+                        key=jax.random.key(0), Q_param_type=qtype)
+                step, state = maker(problem, K, **kw)
+                dt, elbo = time_step(step, state, n=5)
+            except Exception as e:
+                out[name] = {"error": f"{qtype}: {type(e).__name__}: {e}"}
+                continue
+            n_sites = sum(int(np.prod([problem.all_platedims[p]
+                                       for p in pl], dtype=np.int64))
+                          for _, pl in _latent_sites(problem))
+            out[name] = {"method": "qem" if qtype == "qem" else "rws",
+                         "step_s": dt, "elbo": elbo,
+                         "latent_site_copies": n_sites,
+                         "samples_per_s": K * n_sites / dt}
+            print(f"{name:14s} [{out[name]['method']}] K={K}: "
+                  f"{dt*1e3:8.2f} ms/step  "
+                  f"{out[name]['samples_per_s']:.3e} samples/s", flush=True)
+            break
+    return out
+
+
+def _latent_sites(problem):
+    """(varname, enclosing platenames) for every latent site in Q
+    (``flat_prog`` already flattens Groups into their member dists)."""
+    sites = []
+
+    def walk(plate, platenames):
+        from alan_tpu.ir.plate import Plate as IRPlate
+        from alan_tpu.ir.data import Data as IRData
+        for name, node in plate.flat_prog.items():
+            if isinstance(node, IRPlate):
+                walk(node, platenames + [name])
+            elif not isinstance(node, IRData):
+                sites.append((name, platenames))
+
+    walk(problem.Q.plate, [])
+    return sites
+
+
+import numpy as np
+
+
+def time_to_moment_error(K=30, iters=300, lr=0.1, gold_K=100, gold_seeds=8):
+    """Time-to-moment-error, the second half of the BASELINE.md headline
+    metric (MovieLens, K=30).
+
+    QEM's state *is* a posterior-moment estimate (the EMA'd sufficient
+    stats), so the error trajectory falls out of the training scan directly.
+    Gold = posterior moments from fresh lr=1 QEM steps at ``gold_K``
+    (a single EMA step with lr=1 writes the raw moment estimate), averaged
+    over ``gold_seeds`` independent seeds.  Error(t) = MSE over all
+    sufficient-stat coordinates, normalised by the gold second moment;
+    reported are the wall-clock times to reach 30%/10%/3% of the
+    *initial* error.
+    """
+    import jax.numpy as jnp
+    import movielens
+    from alan_tpu import train
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        problem, *_ = movielens.load_and_generate_problem(
+            key=jax.random.key(0), Q_param_type="qem")
+
+    def flat_means(stateQ):
+        return jnp.concatenate([jnp.ravel(v.data)
+                                for _, v in sorted(stateQ["qem_means"].items())])
+
+    # gold: one lr=1.0 step at high K per seed == the raw (un-EMA'd)
+    # moment estimate; average over seeds
+    gold_step, gold_state0 = train.qem(problem, gold_K, lr=1.0)
+
+    @jax.jit
+    def gold_fn(key):
+        def one(k):
+            (_, sQ), _ = gold_step(gold_state0, k)
+            return flat_means(sQ)
+        return jnp.mean(jax.vmap(one)(jax.random.split(key, gold_seeds)), 0)
+
+    gold = gold_fn(jax.random.key(123))
+    gold_norm = jnp.mean(gold ** 2)
+
+    # trajectory: scan of the K=30 QEM step, emitting the moment estimate
+    step, state0 = train.qem(problem, K, lr=lr)
+
+    @jax.jit
+    def traj(state, key):
+        def body(s, i):
+            s2, _ = step(s, jax.random.fold_in(key, i))
+            (_, sQ) = s2
+            err = jnp.mean((flat_means(sQ) - gold) ** 2) / gold_norm
+            return s2, err
+        _, errs = jax.lax.scan(body, state, jnp.arange(iters))
+        return errs
+
+    errs = np.asarray(traj(state0, jax.random.key(7)))
+
+    # wall-clock per step from the timed bare step (slope method)
+    step_s, _ = time_step(step, state0, n=10)
+
+    err0 = float(errs[0])
+    out = {"step_s": step_s, "err_iter1": err0,
+           "err_final": float(errs[-1]), "iters": iters,
+           "gold_K": gold_K, "gold_seeds": gold_seeds}
+    for frac in (0.3, 0.1, 0.03):
+        hit = np.nonzero(errs <= frac * err0)[0]
+        it = int(hit[0]) + 1 if hit.size else None
+        out[f"iters_to_{int(frac*100)}pct"] = it
+        out[f"time_to_{int(frac*100)}pct_s"] = (
+            it * step_s if it is not None else None)
+    print(json.dumps(out, indent=1), flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", action="store_true")
     ap.add_argument("--grid", action="store_true")
+    ap.add_argument("--models", action="store_true")
+    ap.add_argument("--tte", action="store_true")
     args = ap.parse_args()
     if args.mesh:
         result = {"mesh": mesh_scaling()}
     elif args.grid:
         result = {"grid_throughput_movielens_K30": grid_throughput()}
+    elif args.models:
+        result = {"canonical_models_K30": canonical_models()}
+    elif args.tte:
+        result = {"time_to_moment_error_movielens_K30": time_to_moment_error()}
     else:
         result = {"k_sweep": k_sweep()}
     path = "BENCH_DETAIL.json"
