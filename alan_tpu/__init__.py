@@ -19,7 +19,8 @@ from .sample import Sample
 from .sample_nonmp import SampleNonMP
 from .marginals import Marginals
 from .importance import ImportanceSample, ExtendedImportanceSample
-from .moments import mean, mean2, var, mean_log, mean_log1m, mean_xxT, cov_x
+from .moments import (mean, mean2, var, mean_log, mean_log1m, mean_recip,
+                      mean_xxT, cov_x)
 from .split import Split, no_checkpoint, checkpoint
 
 # user-facing distribution constructors (Normal, Beta, ...)
@@ -36,6 +37,7 @@ __all__ = [
     "PermutationSampler", "CategoricalSampler", "IndependentSampler",
     "samplers", "Sample", "SampleNonMP", "Marginals", "ImportanceSample",
     "ExtendedImportanceSample", "mean", "mean2", "var", "mean_log",
-    "mean_log1m", "mean_xxT", "cov_x", "Split", "no_checkpoint", "checkpoint",
+    "mean_log1m", "mean_recip", "mean_xxT", "cov_x", "Split", "no_checkpoint",
+    "checkpoint",
     *list(_dc.keys()),
 ]

@@ -38,6 +38,16 @@ def logPQ_plate(name: Optional[str], P: Plate, Q: Plate, sample: dict,
         extra_log_factors=extra_log_factors, data=data,
         all_platedims=all_platedims)
 
+    if len(siedas) > 1 and any(isinstance(v, Timeseries)
+                               for v in P.flat_prog.values()):
+        # Reference forbids this too (``Timeseries.py:59``): the T dim is a
+        # Markov chain, so chunking it changes the lagged-sample alignment.
+        raise ValueError(
+            f"You can't Split along plate '{name}' because it contains a "
+            f"Timeseries: splitting the T dimension is unsupported "
+            f"(Split a different plate, or rely on the chunked-scan/remat "
+            f"memory controls instead).")
+
     use_remat = computation_strategy is checkpoint
 
     statics = dict(

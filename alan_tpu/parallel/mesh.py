@@ -35,20 +35,40 @@ def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
 
 
 class MeshPlan:
-    """Maps dim names to mesh axes; constrains dimmed tensors accordingly."""
+    """Maps dim names to mesh axes; constrains dimmed tensors accordingly.
 
-    def __init__(self, mesh: Mesh, dim2axis: dict[str, str]):
+    ``strict=True`` raises when a planned dim can't actually be sharded
+    (size doesn't divide the mesh axis); the default warns once per
+    (dim, size, axis) so a scaling run can't silently execute unsharded.
+    """
+
+    def __init__(self, mesh: Mesh, dim2axis: dict[str, str],
+                 strict: bool = False):
         self.mesh = mesh
         self.dim2axis = dict(dim2axis)
+        self.strict = strict
+        self._warned: set = set()
 
     def with_all_K(self, axis: str) -> "MeshPlan":
         """Return a plan that additionally shards every K-dim (any dim with
         the reserved ``K_`` prefix) over ``axis``."""
-        plan = MeshPlan(self.mesh, self.dim2axis)
+        plan = MeshPlan(self.mesh, self.dim2axis, strict=self.strict)
         plan._k_axis = axis
         return plan
 
     _k_axis: str | None = None
+
+    def _undividable(self, dim: str, size: int, axis: str, axis_size: int):
+        msg = (f"MeshPlan: dim '{dim}' (size {size}) does not divide mesh "
+               f"axis '{axis}' (size {axis_size}); the tensor stays "
+               f"UNSHARDED along '{dim}'. Pad the dim or resize the mesh.")
+        if self.strict:
+            raise ValueError(msg)
+        key = (dim, size, axis)
+        if key not in self._warned:
+            self._warned.add(key)
+            import warnings
+            warnings.warn(msg, stacklevel=3)
 
     def _axis_for(self, dim: str):
         if dim in self.dim2axis:
@@ -68,13 +88,15 @@ class MeshPlan:
         axes = [self._axis_for(d) for d in dims_of(x)]
         if not any(a is not None for a in axes):
             return x
-        # skip constraining dims whose size doesn't divide the mesh axis
         sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         parts = []
         for d, a in zip(dims_of(x), axes):
             if a is not None and x.dim_size(d) % sizes[a] == 0:
                 parts.append(a)
             else:
+                if a is not None:
+                    # requested but un-shardable: warn (or raise if strict)
+                    self._undividable(d, x.dim_size(d), a, sizes[a])
                 parts.append(None)
         spec = PartitionSpec(*parts)
         sharding = NamedSharding(self.mesh, spec)

@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "examples", "models"))
 
 import jax
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
@@ -158,8 +159,10 @@ def grid_throughput(K=30, Rs=(1, 4, 8), n=20):
 
 def canonical_models(K=30):
     """Fused-training-step time for every canonical workload (BASELINE.md
-    model table) at K=30: QEM where the model's Q carries QEMParams, else
-    RWS (covid's Q is opt-parameterised, matching the reference grids)."""
+    model table) at K=30.  Every model is benchmarked with QEM (all six,
+    covid included, support ``Q_param_type='qem'`` — as in the reference's
+    covid.py:113); the RWS entry is only a fallback should a model's QEM
+    step fail at runtime."""
     from alan_tpu import train
     out = {}
     for name in ("movielens", "bus_breakdown", "chimpanzees", "occupancy",
@@ -206,9 +209,6 @@ def _latent_sites(problem):
 
     walk(problem.Q.plate, [])
     return sites
-
-
-import numpy as np
 
 
 def time_to_moment_error(K=30, iters=300, lr=0.1, gold_K=100, gold_seeds=8):

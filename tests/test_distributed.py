@@ -34,7 +34,8 @@ def _free_port():
 
 
 def _reference_result():
-    """Single-process sharded reference on the in-process 8-device mesh."""
+    """Unsharded single-process reference (same seed, same program, no
+    mesh plan) to compare the 2-process cluster result against."""
     from tests._distributed_worker import tiny_problem  # reuse the model
     problem = tiny_problem()
     step, state0 = train.qem(problem, 8, lr=0.1)
@@ -45,14 +46,13 @@ def _reference_result():
     return float(elbo), summaries
 
 
-@pytest.mark.skipif(sys.platform != "linux", reason="loopback cluster test")
-def test_two_process_cluster_matches_single_process(tmp_path):
+def _spawn_cluster(tmp_path, nproc, attempt):
+    """Launch the loopback cluster once; returns (procs, logs, outs)."""
     port = _free_port()
-    nproc = 2
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)          # worker sets its own device count
     env["PYTHONPATH"] = _REPO
-    outs = [str(tmp_path / f"out{i}.json") for i in range(nproc)]
+    outs = [str(tmp_path / f"out{attempt}_{i}.json") for i in range(nproc)]
     procs = [subprocess.Popen(
         [sys.executable, _WORKER, str(i), str(nproc), str(port), outs[i]],
         env=env, cwd=_REPO,
@@ -67,15 +67,34 @@ def test_two_process_cluster_matches_single_process(tmp_path):
                 q.kill()
             pytest.fail("distributed worker timed out")
         logs.append(out.decode(errors="replace"))
+    return procs, logs, outs
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="loopback cluster test")
+def test_two_process_cluster_matches_single_process(tmp_path):
+    nproc = 2
+    # _free_port() hands the port to the coordinator process only after
+    # closing it (TOCTOU); retry the whole spawn if another process stole it.
+    for attempt in range(3):
+        procs, logs, outs = _spawn_cluster(tmp_path, nproc, attempt)
+        if all(p.returncode == 0 for p in procs):
+            break
+        bind_race = any("address already in use" in log.lower()
+                        or "failed to bind" in log.lower() for log in logs)
+        if not bind_race:
+            break
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
 
     results = [json.load(open(o)) for o in outs]
     assert all(r["n_global_devices"] == 2 * nproc for r in results)
 
-    # both processes computed the same global program -> identical results
+    # both processes computed the same global program; tight tolerance
+    # (rather than ==) guards against nondeterministic collective scheduling
     assert results[0]["elbo"] == pytest.approx(results[1]["elbo"], abs=1e-5)
-    assert results[0]["qem_params"] == results[1]["qem_params"]
+    for k, pair in results[0]["qem_params"].items():
+        assert pair == pytest.approx(results[1]["qem_params"][k],
+                                     rel=1e-7, abs=1e-9), k
 
     # distributed == single-process (collective reordering tolerance)
     elbo_ref, summ_ref = _reference_result()

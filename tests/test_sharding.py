@@ -112,3 +112,63 @@ def test_sharded_qem_step_matmul_contraction():
         assert np.isclose(float(elbo_plain), float(elbo_sh), rtol=1e-4, atol=1e-4)
     finally:
         rk._MATMUL_MIN_K = old
+
+
+def test_meshplan_warns_on_undividable_dim():
+    """A planned dim that doesn't divide the mesh axis must warn (not
+    silently run unsharded) — VERDICT r1 weak #4."""
+    import warnings
+    import jax.numpy as jnp
+    from alan_tpu.dims import DT
+
+    mesh = make_mesh({"k": 4})
+    plan = MeshPlan(mesh, {"K_z": "k"})
+    x = DT(jnp.zeros((6, 3)), ("K_z",))  # 6 % 4 != 0
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = plan.constrain(x)
+        assert any("does not divide" in str(wi.message) for wi in w)
+    assert out.dims == x.dims
+    # deduplicated: second call does not re-warn
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        plan.constrain(x)
+        assert not any("does not divide" in str(wi.message) for wi in w)
+
+
+def test_meshplan_strict_raises_on_undividable_dim():
+    import jax.numpy as jnp
+    from alan_tpu.dims import DT
+
+    mesh = make_mesh({"k": 4})
+    plan = MeshPlan(mesh, {"K_z": "k"}, strict=True)
+    x = DT(jnp.zeros((6, 3)), ("K_z",))
+    with pytest.raises(ValueError, match="does not divide"):
+        plan.constrain(x)
+
+
+def test_split_on_timeseries_plate_raises():
+    """Splitting a plate that carries a Timeseries must fail with the
+    explicit error (parity: reference Timeseries.py:59)."""
+    import jax
+    import jax.numpy as jnp
+    from alan_tpu import (Normal, Timeseries, Plate, BoundPlate, Problem,
+                          Data, Split, named)
+
+    P = Plate(
+        init=Normal(0., 1.),
+        T=Plate(
+            ts=Timeseries("init", Normal(lambda prev: 0.9 * prev, 0.1)),
+            obs=Normal('ts', 1.),
+        ),
+    )
+    Q = Plate(
+        init=Normal(0., 1.),
+        T=Plate(ts=Normal(0., 1.), obs=Data()),
+    )
+    ps = {'T': 8}
+    prob = Problem(BoundPlate(P, ps), BoundPlate(Q, ps),
+                   {'obs': named(jnp.zeros(8), 'T')})
+    s = prob.sample(4, key=jax.random.key(0))
+    with pytest.raises(ValueError, match="can't Split along plate 'T'"):
+        s.elbo_vi(computation_strategy=Split('T', 4))
