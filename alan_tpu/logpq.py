@@ -202,17 +202,28 @@ def _logPQ_plate(*, name, P, Q, sample, inputs_params, data,
 
     if name is not None:
         if len(K_inits) > 0:
-            # Timeseries: contract the [T, Kinit, K] chain with log-matmuls
-            # (reference logpq.py:131-146); one timeseries group per plate.
-            assert len(K_inits) == 1, "one timeseries group per plate supported"
-            (Kinit,), (Kcurr,) = K_inits, K_currs
-            o = lp.order(name, Kinit, Kcurr)   # (*higher, T, Ki, K)
-            chained = chain_logmmexp(o.data)   # (*higher, Ki, K)
+            # Timeseries: contract ALL the plate's timeseries K-groups
+            # *jointly* — flatten the Kinit dims into one joint axis and the
+            # Kcurr dims into another (reference logpq.py:131-146 does
+            # ``lp.order(new_platedim, K_inits, K_currs)``, which groups the
+            # lists), chain the [T, ΠKi, ΠK] operator with log-matmuls, then
+            # unflatten back to the separate Kinit dims.
             import jax.numpy as jnp
-            summed = jnp.log(jnp.sum(jnp.exp(chained - jax.lax.stop_gradient(
-                jnp.max(chained, axis=-1, keepdims=True))), axis=-1))
+            o = lp.order(name, *K_inits, *K_currs)  # (*hi, T, Ki..., K...)
+            n = len(K_inits)
+            nrem = len(o.dims)
+            shp = o.data.shape
+            T_size = shp[nrem]
+            ki_sizes = shp[nrem + 1: nrem + 1 + n]
+            k_sizes = shp[nrem + 1 + n:]
+            joint = o.data.reshape(
+                shp[:nrem] + (T_size, math.prod(ki_sizes), math.prod(k_sizes)))
+            chained = _chain(joint, name)           # (*hi, ΠKi, ΠK)
             maxv = jax.lax.stop_gradient(jnp.max(chained, axis=-1))
-            lp = bind(DT(summed + maxv, o.dims), Kinit)
+            summed = jnp.log(jnp.sum(
+                jnp.exp(chained - maxv[..., None]), axis=-1))
+            out = (summed + maxv).reshape(shp[:nrem] + tuple(ki_sizes))
+            lp = bind(DT(out, o.dims), *K_inits)
             assert prev_lpq is None
         else:
             lp = sum_dims(lp, (name,), ignore_extra_dims=True)
@@ -220,6 +231,25 @@ def _logPQ_plate(*, name, P, Q, sample, inputs_params, data,
                 assert set(dims_of(lp)) == set(dims_of(prev_lpq))
                 lp = lp + prev_lpq
     return lp
+
+
+def _chain(ms, platename):
+    """Chain-contract ``ms[..., T, Ki, K]`` over T.  When the active
+    ``MeshPlan`` maps the timeseries plate dim to a mesh axis, route to the
+    T-sharded implementation (local chains + all_gather of the K×K boundary
+    operators over ICI); otherwise the single-chip balanced tree."""
+    from .parallel.mesh import active_plan
+    plan = active_plan()
+    if plan is not None:
+        axis = plan._axis_for(platename)
+        if axis is not None:
+            T = ms.shape[-3]
+            n = plan.axis_size(axis)
+            if T % n == 0:
+                from .parallel.seq import chain_logmmexp_sharded
+                return chain_logmmexp_sharded(ms, plan.mesh, axis)
+            plan._undividable(platename, T, axis, n)
+    return chain_logmmexp(ms)
 
 
 def logPQ_gdt(*, name, P, Q, sample, inputs_params, data, extra_log_factors,

@@ -69,17 +69,24 @@ def lowrank_lazy_preferred(x, params) -> bool:
     """Route to the *lazy* factored form (``LowRankDT`` + the fused Pallas
     contraction) instead of the dense matmul.
 
-    Measured on a v5e (grouped movielens QEM step): the fused kernel LOSES
-    end-to-end while the cross product still fits HBM — the step is
-    MXU-bound at these feature counts (F≈36), XLA's single large GEMM beats
-    the tiled kernel, and the bandwidth the fusion saves wasn't the
-    bottleneck (K=300: 1.15→3.34 ms; K=1000: 11.98→16.45 ms).  Its win is
-    *capacity*: the K²·plate tensor never exists, so K keeps scaling past
-    the point where the dense path OOMs 16 GB HBM (K=3000 grouped movielens
-    ⇒ a 10.8 GB cross product).  Default: lazy only above
-    ``ALAN_TPU_LAZY_LOWRANK_MIN`` cross-product elements (2^30 ≈ 4.3 GB
-    f32).  ``ALAN_TPU_LAZY_LOWRANK=1`` forces it everywhere;
-    ``ALAN_TPU_NO_LAZY_LOWRANK=1`` kills it."""
+    Measured on a v5e (grouped movielens QEM step, end-to-end, round-2
+    kernel: bf16x3 score matmuls + dimension_semantics pipelining — see
+    docs/performance.md):
+
+        K= 300 (cross 2.7e7): dense 0.94 ms, lazy 2.65 ms  -> dense
+        K= 500 (cross 7.5e7): dense 3.49 ms, lazy 3.08 ms  -> LAZY
+        K= 700 (cross 1.5e8): dense 6.88 ms, lazy 5.74 ms  -> LAZY
+        K=1000 (cross 3.0e8): dense 12.0 ms, lazy 10.7 ms  -> LAZY
+
+    Below the crossover the step is dispatch/MXU-bound and XLA's single
+    GEMM wins; above it the dense path's O(K²·plate) HBM traffic dominates
+    and the flash-style fusion wins — plus the *capacity* win: the K²·plate
+    tensor never exists, so K keeps scaling past the dense OOM wall
+    (K=3000 grouped movielens ⇒ a 10.8 GB cross product).  Default
+    threshold 2^26 ≈ 6.7e7 cross-product elements (just under the measured
+    K=500 win).  ``ALAN_TPU_LAZY_LOWRANK=1`` forces it everywhere;
+    ``ALAN_TPU_NO_LAZY_LOWRANK=1`` kills it; ``ALAN_TPU_LAZY_LOWRANK_MIN``
+    tunes the threshold."""
     if os.environ.get("ALAN_TPU_NO_LAZY_LOWRANK") == "1":
         return False
     if (os.environ.get("ALAN_TPU_LAZY_LOWRANK") == "1"
@@ -91,7 +98,7 @@ def lowrank_lazy_preferred(x, params) -> bool:
     # elements of the cross tensor the dense path would materialise
     cross = math.prod(sizes.values())
     return cross >= int(os.environ.get("ALAN_TPU_LAZY_LOWRANK_MIN",
-                                       str(1 << 30)))
+                                       str(1 << 26)))
 
 
 def lowrank_applicable(family_name, x, params, arg_dims) -> bool:

@@ -43,11 +43,50 @@ except Exception:  # pragma: no cover
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# Score-matmul precision. The kernel does ~4x the dense path's matmul work
+# (flash-style recompute: fwd scores + bwd scores/dU/dV) in exchange for
+# never touching the K^2*plate tensor in HBM, so MXU pass count decides the
+# end-to-end outcome.  "high" = bf16x3 split-accumulate (~1e-6 relative
+# error on the log-density scores, immaterial against f32 summation noise),
+# half the MXU passes of HIGHEST = bf16x6.  Mosaic can't lower
+# Precision.HIGH directly, so bf16x3 is spelled out as three DEFAULT dots
+# over (hi, lo) bf16 splits.  ALAN_TPU_LOWRANK_PRECISION overrides.
+_PRECISION_MODE = os.environ.get("ALAN_TPU_LOWRANK_PRECISION", "high").lower()
 
-def _dot(a, b, dims):
+
+def _dot1(a, b, dims, precision):
     return jax.lax.dot_general(a, b, (dims, ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_HIGHEST)
+                               precision=precision)
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot(a, b, dims):
+    if _PRECISION_MODE == "highest":
+        return _dot1(a, b, dims, jax.lax.Precision.HIGHEST)
+    if _PRECISION_MODE == "default":
+        return _dot1(a, b, dims, jax.lax.Precision.DEFAULT)
+    # bf16x3: a·b = ah·bh + ah·bl + al·bh  (+ al·bl ~ 2^-16 rel, dropped)
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    d = jax.lax.Precision.DEFAULT
+    return (_dot1(ah, bh, dims, d) + _dot1(ah, bl, dims, d)
+            + _dot1(al, bh, dims, d))
+
+
+def _cparams(dimension_semantics):
+    """Tell Mosaic which grid dims are parallel vs sequential-accumulation:
+    without this the whole grid is treated as arbitrary (serialised), which
+    costs pipelining across the parallel dims."""
+    try:
+        return pltpu.CompilerParams(dimension_semantics=dimension_semantics)
+    except Exception:  # pragma: no cover (older pallas naming)
+        return pltpu.TPUCompilerParams(dimension_semantics=dimension_semantics)
 
 
 # ---- tiling ----------------------------------------------------------------
@@ -129,6 +168,8 @@ def _pallas_fwd(U, V, D, interpret=False):
         out_shape=jax.ShapeDtypeStruct((S, np_ * bp, nj * bj), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bp, bj), jnp.float32),
                         pltpu.VMEM((bp, bj), jnp.float32)],
+        compiler_params=_cparams(("parallel", "parallel", "parallel",
+                                  "arbitrary")),
         interpret=interpret,
     )(U, V, D)
     return out[:, :P, :J]
@@ -204,6 +245,8 @@ def _pallas_bwd(U, V, D, out, g, interpret=False):
             jax.ShapeDtypeStruct((S, np_ * bp, ni * bi), jnp.float32),
             jax.ShapeDtypeStruct((np_ * ni * S, nj * bj, F), jnp.float32),
         ],
+        compiler_params=_cparams(("parallel", "parallel", "parallel",
+                                  "arbitrary")),
         interpret=interpret,
     )(U, V, D, out, g)
     dV = jnp.sum(dVx.reshape(np_ * ni, S, nj * bj, F), axis=0)[:, :J]

@@ -15,10 +15,21 @@ Typical plans:
 """
 from __future__ import annotations
 
+import contextlib
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..dims import DT, dims_of
+
+# The plan currently in force during an elbo/step trace (set by
+# ``MeshPlan.active()``; consulted by ``logpq`` to route e.g. the timeseries
+# chain contraction to its T-sharded implementation).  Trace-time only.
+_active_plan: "MeshPlan | None" = None
+
+
+def active_plan() -> "MeshPlan | None":
+    return _active_plan
 
 
 def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
@@ -57,6 +68,21 @@ class MeshPlan:
         return plan
 
     _k_axis: str | None = None
+
+    @contextlib.contextmanager
+    def active(self):
+        """Make this plan visible to the evaluation engine for the duration
+        of a trace (``logpq`` consults it to shard the timeseries chain)."""
+        global _active_plan
+        prev = _active_plan
+        _active_plan = self
+        try:
+            yield self
+        finally:
+            _active_plan = prev
+
+    def axis_size(self, axis: str) -> int:
+        return dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[axis]
 
     def _undividable(self, dim: str, size: int, axis: str, axis_size: int):
         msg = (f"MeshPlan: dim '{dim}' (size {size}) does not divide mesh "

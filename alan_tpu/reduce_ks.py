@@ -223,72 +223,102 @@ def sample_Ks_timeseries(lps, ts_Ks, ts_init_Ks, N_dim, num_samples, T_dim,
     forward-filter / backward-sample over the particle index chain.
 
     Functional equivalent of reference ``reduce_Ks.py:85-232`` (which
-    implements Briers-style smoothing); here we run textbook FFBS on the
-    [T, Kinit, K] log-weight chain: forward alphas by log-matvec, backward
-    ancestral sampling with ``jax.random.categorical``.
+    implements Briers-style smoothing), generalised: ALL the plate's
+    timeseries K-groups are smoothed *jointly* over the flattened product
+    state space [T, ΠKi, ΠK] — the same joint chain the ELBO contracts
+    (reference ``logpq.py:133-146``) — and the sampled joint index is
+    unravelled back into per-group indices.  (The reference loops per group,
+    conditioning each chain on marginals of the others; the joint chain is
+    exact for any number of ungrouped timeseries in one plate.)  Forward
+    alphas by log-matvec, backward ancestral sampling with
+    ``jax.random.categorical``.
     """
     from .dims import expand_to
     check_unique_dims(tuple(ts_Ks))
-    _, lps_for_sampling, Ks_per_step = collect_lps(lps, ts_Ks)
-
+    assert len(ts_Ks) == len(ts_init_Ks) >= 1
     indices = dict(indices)
-    for step_lps, kdims, init_K in zip(lps_for_sampling[::-1], Ks_per_step[::-1],
-                                       ts_init_Ks[::-1]):
-        assert len(kdims) == 1
-        K_dim = kdims[0]
-        step_lps = [lp.materialize() if getattr(lp, "__lazy_dt__", False)
-                    else lp for lp in step_lps]
-        lp = step_lps[0]
-        for x in step_lps[1:]:
-            lp = lp + x
-        assert K_dim in dims_of(lp) and T_dim in dims_of(lp) and init_K in dims_of(lp)
-        assert init_K in indices
+    set_ts = set(ts_Ks)
+    set_init = set(ts_init_Ks)
 
-        # condition on already-sampled ancestor Ks (except the init's, which
-        # enters through alpha_0); these carry N, so `rest` includes N.
-        for dim in [d for d in dims_of(lp) if d in indices and d != init_K]:
-            lp = dt_index(lp, dim, indices[dim])
-        if N_dim not in dims_of(lp):
-            # no N-dimmed ancestors: tile over the N draws explicitly
-            lp = lp + DT(jnp.zeros((num_samples,)), (N_dim,))
+    # factors relevant to the chains: those carrying any timeseries K-dim
+    sel = [lp.materialize() if getattr(lp, "__lazy_dt__", False) else lp
+           for lp in lps if set(dims_of(lp)) & set_ts]
+    lp = sel[0]
+    for x in sel[1:]:
+        lp = lp + x
+    for d in (T_dim, *ts_Ks, *ts_init_Ks):
+        assert d in dims_of(lp), d
+    for ki in ts_init_Ks:
+        assert ki in indices
 
-        # canonical raw layout: M[t, *rest, Ki, K]
-        o = lp.order(T_dim, init_K, K_dim)
-        rest = o.dims                                   # includes N_dim
-        M = jnp.moveaxis(o.data, len(rest), 0)          # (T, *rest, Ki, K)
-        T = M.shape[0]
-        K = M.shape[-1]
+    # condition on already-sampled ancestor Ks (except the inits, which
+    # enter through alpha_0); these carry N, so `rest` includes N.
+    for dim in [d for d in dims_of(lp)
+                if d in indices and d not in set_init]:
+        lp = dt_index(lp, dim, indices[dim])
+    # marginalise the plate's yet-unsampled non-timeseries K-dims — plain
+    # logsumexp, exactly as the ELBO contraction does (each factor already
+    # carries its group's -log K correction).
+    other_Ks = tuple(d for d in dims_of(lp) if d.startswith("K_")
+                     and d not in set_ts and d not in set_init
+                     and d not in indices)
+    if other_Ks:
+        lp = logsumexp_dims(lp, other_Ks, ignore_extra_dims=True)
+    if N_dim not in dims_of(lp):
+        # no N-dimmed ancestors: tile over the N draws explicitly
+        lp = lp + DT(jnp.zeros((num_samples,)), (N_dim,))
 
-        init_idx = expand_to(as_dt(indices[init_K]), rest)  # (*rest_or_1)
-        init_idx = jnp.broadcast_to(init_idx, M.shape[1:-2])
+    # canonical raw layout: M[t, *rest, ΠKi, ΠK]
+    o = lp.order(T_dim, *ts_init_Ks, *ts_Ks)
+    rest = o.dims                                   # includes N_dim
+    nrem = len(rest)
+    n = len(ts_Ks)
+    shp = o.data.shape
+    ki_sizes = shp[nrem + 1: nrem + 1 + n]
+    k_sizes = shp[nrem + 1 + n:]
+    M = o.data.reshape(shp[:nrem + 1]
+                       + (math.prod(ki_sizes), math.prod(k_sizes)))
+    M = jnp.moveaxis(M, nrem, 0)                    # (T, *rest, ΠKi, ΠK)
+    T = M.shape[0]
 
-        # forward filter: alpha_t[*rest, k]
-        alpha0 = jnp.take_along_axis(M[0], init_idx[..., None, None],
-                                     axis=-2)[..., 0, :]
+    # joint init index: ravel the per-group init indices (row-major, same
+    # axis order as the flatten above)
+    init_idx = 0
+    for sz, ki in zip(ki_sizes, ts_init_Ks):
+        init_idx = init_idx * sz + expand_to(as_dt(indices[ki]), rest)
+    init_idx = jnp.broadcast_to(init_idx, M.shape[1:-2])
 
-        def fwd(alpha, M_t):
-            nxt = jax.scipy.special.logsumexp(alpha[..., :, None] + M_t, axis=-2)
-            return nxt, nxt
+    # forward filter: alpha_t[*rest, k]
+    alpha0 = jnp.take_along_axis(M[0], init_idx[..., None, None],
+                                 axis=-2)[..., 0, :]
 
-        _, alphas_rest = jax.lax.scan(fwd, alpha0, M[1:])
-        alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)  # (T, *rest, K)
+    def fwd(alpha, M_t):
+        nxt = jax.scipy.special.logsumexp(alpha[..., :, None] + M_t, axis=-2)
+        return nxt, nxt
 
-        # backward ancestral sampling
-        k_last = jax.random.categorical(keygen(), alphas[T - 1], axis=-1)
+    _, alphas_rest = jax.lax.scan(fwd, alpha0, M[1:])
+    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)  # (T,*rest,K)
 
-        def bwd(k_next, inp):
-            alpha_t, M_next, key = inp
-            sel = jnp.take_along_axis(M_next, k_next[..., None, None],
-                                      axis=-1)[..., 0]   # (*rest, Ki)
-            k_t = jax.random.categorical(key, alpha_t + sel, axis=-1)
-            return k_t, k_t
+    # backward ancestral sampling
+    k_last = jax.random.categorical(keygen(), alphas[T - 1], axis=-1)
 
-        keys = jax.random.split(keygen(), max(T - 1, 1))
-        if T > 1:
-            _, ks_rev = jax.lax.scan(bwd, k_last,
-                                     (alphas[:-1][::-1], M[1:][::-1], keys))
-            ks = jnp.concatenate([ks_rev[::-1], k_last[None]], axis=0)
-        else:
-            ks = k_last[None]
-        indices[K_dim] = DT(ks, (T_dim,) + rest)
+    def bwd(k_next, inp):
+        alpha_t, M_next, key = inp
+        sel_ = jnp.take_along_axis(M_next, k_next[..., None, None],
+                                   axis=-1)[..., 0]   # (*rest, Ki)
+        k_t = jax.random.categorical(key, alpha_t + sel_, axis=-1)
+        return k_t, k_t
+
+    keys = jax.random.split(keygen(), max(T - 1, 1))
+    if T > 1:
+        _, ks_rev = jax.lax.scan(bwd, k_last,
+                                 (alphas[:-1][::-1], M[1:][::-1], keys))
+        ks = jnp.concatenate([ks_rev[::-1], k_last[None]], axis=0)
+    else:
+        ks = k_last[None]
+
+    # unravel the joint index back into per-group indices
+    unravelled = jnp.unravel_index(ks, k_sizes)
+    for kdim, u in zip(ts_Ks, unravelled):
+        indices[kdim] = DT(u, (T_dim,) + rest)
     return indices

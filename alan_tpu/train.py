@@ -23,9 +23,17 @@ try:
 except ImportError:  # pragma: no cover
     optax = None
 
+import contextlib
+
 from .sample import Sample
 from .sampler import PermutationSampler
 from .split import no_checkpoint
+
+
+def _plan_active(mesh_plan):
+    """Trace under the plan so the engine can route e.g. the timeseries
+    chain contraction to its T-sharded implementation."""
+    return mesh_plan.active() if mesh_plan is not None else contextlib.nullcontext()
 
 
 def _make_sample(problem, K, reparam, sampler, key, stateP, stateQ,
@@ -44,10 +52,11 @@ def elbo_fn(problem, K, reparam=True, sampler=PermutationSampler,
     the logPQ contraction.  With a ``MeshPlan``, the sampled particles and
     data are sharding-constrained so GSPMD distributes the contraction."""
     def f(stateP, stateQ, key):
-        s = _make_sample(problem, K, reparam, sampler, key, stateP, stateQ,
-                         mesh_plan)
-        sample = s.reparam_sample if reparam else s.detached_sample
-        return s._elbo(sample, None, computation_strategy)
+        with _plan_active(mesh_plan):
+            s = _make_sample(problem, K, reparam, sampler, key, stateP,
+                             stateQ, mesh_plan)
+            sample = s.reparam_sample if reparam else s.detached_sample
+            return s._elbo(sample, None, computation_strategy)
     return f
 
 
@@ -149,11 +158,14 @@ def qem(problem, K: int, lr=0.1, sampler=PermutationSampler,
     @jax.jit
     def step(state, key):
         stateP, stateQ = state
-        s = _make_sample(problem, K, False, sampler, key, stateP, stateQ,
-                         mesh_plan)
-        newP = problem.P._updated_qem_state(lr, s, computation_strategy, state=stateP)
-        newQ = problem.Q._updated_qem_state(lr, s, computation_strategy, state=stateQ)
-        elbo = s._elbo(s.detached_sample, None, computation_strategy)
+        with _plan_active(mesh_plan):
+            s = _make_sample(problem, K, False, sampler, key, stateP, stateQ,
+                             mesh_plan)
+            newP = problem.P._updated_qem_state(lr, s, computation_strategy,
+                                                state=stateP)
+            newQ = problem.Q._updated_qem_state(lr, s, computation_strategy,
+                                                state=stateQ)
+            elbo = s._elbo(s.detached_sample, None, computation_strategy)
         return (newP, newQ), elbo
 
     state0 = _strong((problem.P.state(), problem.Q.state()))

@@ -47,44 +47,87 @@ N_STEPS = 20
 RECORDED_EAGER_BASELINE = 4150.0
 
 
+def _timed_scan_step(problem, K_, lr=0.1, n=N_STEPS):
+    """(per-step time, final elbo, mfu report) for a fused QEM training scan.
+
+    Per-step time = slope between two scan lengths, each ended by a host
+    FETCH (the only reliable completion barrier over the remote-TPU tunnel —
+    block_until_ready can return before execution finishes there); the slope
+    cancels the constant fetch/dispatch overhead.  The MFU report grounds
+    the time in XLA's own FLOP count for the long program (VERDICT r1 #1).
+    """
+    import numpy as np
+    from alan_tpu import train
+    from alan_tpu.perf import mfu_report
+
+    step, state0 = train.qem(problem, K_, lr=lr)
+    key = jax.random.key(7)
+    run_short = train.scan_steps(step, n)
+    run_long = train.scan_steps(step, 4 * n)
+
+    for run in (run_short, run_long):     # compile + warm up
+        _, elbos = run(state0, key)
+        float(np.asarray(elbos[-1]))
+
+    totals = {}
+    for N, run in ((n, run_short), (4 * n, run_long)):
+        t0 = time.perf_counter()
+        _, elbos = run(state0, key)
+        elbo = float(np.asarray(elbos[-1]))
+        totals[N] = time.perf_counter() - t0
+    dt = (totals[4 * n] - totals[n]) / (3 * n)
+
+    # FLOPs from the SINGLE-step program: XLA's cost analysis counts a
+    # while/scan body once, so the fused multi-step scan would undercount
+    # by the trip count.  (Scans *inside* the step — e.g. a timeseries
+    # chain — are still counted once, making the reported MFU a lower
+    # bound; the inner chains here are a negligible FLOP fraction.)
+    rep = mfu_report(step, (state0, jax.random.key(0)), dt, steps_per_call=1)
+    return dt, float(elbo), rep
+
+
 def bench_alan_tpu():
     import movielens
-    from alan_tpu import train
 
     with jax.default_device(jax.devices("cpu")[0]):
         problem, _, _, _ = movielens.load_and_generate_problem(
             key=jax.random.key(0), Q_param_type="qem")
 
-    step, state0 = train.qem(problem, K, lr=0.1)
-    key = jax.random.key(7)
-
     # the TPU execution mode: the whole training segment is ONE XLA program
     # (lax.scan over steps) — no per-step host dispatch (train.scan_steps;
     # measured 2.5x over the per-step dispatch loop at K=30)
-    run_short = train.scan_steps(step, N_STEPS)
-    run_long = train.scan_steps(step, 4 * N_STEPS)
-
-    # compile + warm up (a host FETCH is the only reliable completion
-    # barrier over the remote-TPU tunnel; block_until_ready can return
-    # before execution finishes there)
-    import numpy as np
-    for run in (run_short, run_long):
-        _, elbos = run(state0, key)
-        float(np.asarray(elbos[-1]))
-
-    # per-step time = slope between the two scan lengths, each ended by a
-    # fetch (cancels the constant fetch/dispatch overhead)
-    totals = {}
-    for N, run in ((N_STEPS, run_short), (4 * N_STEPS, run_long)):
-        t0 = time.perf_counter()
-        _, elbos = run(state0, key)
-        elbo = float(np.asarray(elbos[-1]))
-        totals[N] = time.perf_counter() - t0
-    dt = (totals[4 * N_STEPS] - totals[N_STEPS]) / (3 * N_STEPS)
+    dt, elbo, rep = _timed_scan_step(problem, K)
 
     n_latent_sites = 2 + movielens.M          # mu_z, psi_z, z x plate_1
     samples_per_sec = K * n_latent_sites / dt
-    return samples_per_sec, dt, float(elbo)
+    return samples_per_sec, dt, elbo, rep
+
+
+def bench_compute_bound():
+    """MFU-grounded numbers on workloads that can actually load the chip
+    (the K=30 headline step is dispatch-bound at ~0.3 ms): grouped
+    movielens at K=1000 (K^2 x plate contraction) and the FULL-SIZE covid
+    model (92 regions x 137 days, timeseries chain — the reference's
+    heaviest job, conf_covid.yaml / run_covid.sh)."""
+    out = {}
+    try:
+        from bench_scaling import _grouped_movielens
+        with jax.default_device(jax.devices("cpu")[0]):
+            grouped = _grouped_movielens()
+        dt, _, rep = _timed_scan_step(grouped, 1000, n=5)
+        out["grouped_movielens_qem_K1000"] = {"step_s": dt, **rep}
+    except Exception as e:
+        out["grouped_movielens_qem_K1000"] = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        import covid
+        with jax.default_device(jax.devices("cpu")[0]):
+            problem, _, _, _ = covid.load_and_generate_problem(
+                key=jax.random.key(0), Q_param_type="qem")
+        dt, _, rep = _timed_scan_step(problem, K, n=5)
+        out["covid_full_qem_K30"] = {"step_s": dt, **rep}
+    except Exception as e:
+        out["covid_full_qem_K30"] = {"error": f"{type(e).__name__}: {e}"}
+    return out
 
 
 def bench_eager_cpu_baseline():
@@ -113,17 +156,34 @@ def bench_eager_cpu_baseline():
 
 
 def main():
-    value, step_time, elbo = bench_alan_tpu()
+    value, step_time, elbo, rep = bench_alan_tpu()
     if os.environ.get("BENCH_SKIP_EAGER"):
         baseline = RECORDED_EAGER_BASELINE
     else:
         baseline = bench_eager_cpu_baseline()
-    print(json.dumps({
+    record = {
         "metric": "movielens_qem_K30_importance_weighted_samples_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "samples/s",
         "vs_baseline": round(value / baseline, 3),
-    }))
+        # utilisation grounding (VERDICT r1 #1): XLA cost-model FLOPs of the
+        # exact compiled program / wall-clock / chip dense-bf16 peak
+        "headline_mfu": rep.get("mfu"),
+        "headline_flops_per_step": rep.get("flops_per_step"),
+        "device_kind": rep.get("device_kind"),
+    }
+    if not os.environ.get("BENCH_QUICK"):
+        for name, r in bench_compute_bound().items():
+            if "error" in r:
+                record[name] = r["error"]
+                continue
+            record[f"{name}_step_s"] = round(r["step_s"], 6)
+            record[f"{name}_mfu"] = (round(r["mfu"], 4)
+                                     if r.get("mfu") is not None else None)
+            if r.get("achieved_flops_per_s"):
+                record[f"{name}_tflops"] = round(
+                    r["achieved_flops_per_s"] / 1e12, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -32,7 +32,12 @@ def time_step(step, state, n=10):
     two-length slope cancels the constant fetch/dispatch overhead."""
     import numpy as np
     state0 = state
+    # warm up TWO chained calls: under a mesh plan the returned state can
+    # carry different shardings than state0, so the second call signature
+    # compiles separately — warming only one call put that compile inside
+    # the first timed loop (negative slopes on the virtual mesh)
     state, elbo = step(state0, jax.random.key(0))
+    state, elbo = step(state, jax.random.key(0))
     float(np.asarray(elbo))                      # compile + settle
     totals = {}
     for N in (n, 4 * n):
@@ -121,6 +126,114 @@ def mesh_scaling(K=64):
         out[f"{p}dev"] = dt
         print(f"devices={p}: {dt*1e3:.1f} ms/step (1dev {out['1dev']*1e3:.1f})")
     return out
+
+
+def pod_scaling(K=64, base_M=128, N=4, ts_K=128, ts_T=512):
+    """Weak-scaling harness for real multi-chip hardware (VERDICT r1 #6) —
+    one command produces the 1-chip → n-chip efficiency table the
+    BASELINE.md ≥80% target needs; runs unchanged on a pod (it uses
+    whatever ``jax.devices()`` offers; on the CPU virtual mesh the devices
+    share cores, so efficiency there is a correctness smoke only).
+
+    Two measurements per device count n:
+      * weak-scaled data-parallel QEM: movielens with plate_1 = base_M·n,
+        plate sharded over n devices — ``samples_per_s`` should grow ∝ n
+        (efficiency = rate_n / (n · rate_1)).
+      * T-sharded timeseries boundary exchange: chain_logmmexp over
+        [ts_T, ts_K, ts_K] with T sharded, all_gather vs ppermute-ring —
+        plus the same chain WITHOUT the collective (local product only),
+        isolating collective time without a profiler dependency.
+    """
+    import movielens
+    from alan_tpu import train
+    from alan_tpu.parallel.mesh import make_mesh, MeshPlan
+    from alan_tpu.parallel.seq import chain_logmmexp_sharded
+    from alan_tpu.ops.logmmexp import chain_logmmexp
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    counts = [n for n in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+              if n <= len(devs)]
+    out = {"device_kind": getattr(devs[0], "device_kind", devs[0].platform),
+           "n_devices_available": len(devs)}
+
+    # -- weak-scaled DP QEM ------------------------------------------------
+    dp = {}
+    rate1 = None
+    for n in counts:
+        M = base_M * n
+        platesizes, _, data, _, cov, _ = movielens.load_data_covariates(
+            key=jax.random.key(0), M=M, N=4)
+        problem = movielens.generate_problem(platesizes, data, cov, "qem")
+        if n == 1:
+            step, state = train.qem(problem, K, lr=0.1)
+            dt, _ = time_step(step, state, n=5)
+        else:
+            mesh = make_mesh({"p": n})
+            plan = MeshPlan(mesh, {"plate_1": "p"})
+            step, state = train.qem(problem, K, lr=0.1, mesh_plan=plan)
+            with mesh:
+                dt, _ = time_step(step, state, n=5)
+        rate = K * (2 + M) / dt
+        if rate1 is None:
+            rate1 = rate / 1  # per-device base
+        eff = rate / (n * rate1)
+        dp[f"{n}dev"] = {"M": M, "step_s": dt, "samples_per_s": rate,
+                         "efficiency": eff}
+        print(f"[dp]  n={n:3d}  M={M:6d}  {dt*1e3:8.2f} ms/step  "
+              f"samples/s={rate:.3e}  eff={eff:.2f}", flush=True)
+    out["weak_scaling_dp"] = dp
+
+    # -- T-sharded chain: collective breakdown ------------------------------
+    rng = np.random.default_rng(0)
+    sp = {}
+    for n in counts:
+        T = ts_T * n                         # weak scaling in T
+        ms = jnp.asarray(rng.standard_normal((T, ts_K, ts_K)) * 0.1,
+                         jnp.float32)
+        row = {}
+        if n == 1:
+            f_local = jax.jit(chain_logmmexp)
+            row["local_s"] = time_fn(f_local, ms)
+        else:
+            mesh = make_mesh({"t": n})
+            for method in ("all_gather", "ring"):
+                f = jax.jit(lambda m, method=method, mesh=mesh:
+                            chain_logmmexp_sharded(m, mesh, "t",
+                                                   method=method))
+                with mesh:
+                    row[f"{method}_s"] = time_fn(f, ms)
+            # the same chain with NO boundary exchange: an embarrassingly
+            # sharded batch of independent local chains (lower bound)
+            ms_b = ms.reshape(n, T // n, ts_K, ts_K)
+            mesh = make_mesh({"t": n})
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+            ms_b = jax.device_put(ms_b, NamedSharding(mesh, PS("t")))
+            f_nb = jax.jit(chain_logmmexp)
+            with mesh:
+                row["local_only_s"] = time_fn(f_nb, ms_b)
+            for method in ("all_gather", "ring"):
+                row[f"{method}_collective_overhead_s"] = (
+                    row[f"{method}_s"] - row["local_only_s"])
+        sp[f"{n}dev"] = {"T": T, **row}
+        print(f"[sp]  n={n:3d}  T={T:6d}  " + "  ".join(
+            f"{k}={v*1e3:.2f}ms" for k, v in row.items()), flush=True)
+    out["weak_scaling_seq"] = sp
+    return out
+
+
+def time_fn(f, *args, n=5):
+    """Seconds per call of a jitted fn, fetch-ended slope timing."""
+    r = f(*args)
+    float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+    totals = {}
+    for N in (n, 4 * n):
+        t0 = time.perf_counter()
+        for _ in range(N):
+            r = f(*args)
+        float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+        totals[N] = time.perf_counter() - t0
+    return (totals[4 * n] - totals[n]) / (3 * n)
 
 
 def grid_throughput(K=30, Rs=(1, 4, 8), n=20):
@@ -288,8 +401,12 @@ def main():
     ap.add_argument("--grid", action="store_true")
     ap.add_argument("--models", action="store_true")
     ap.add_argument("--tte", action="store_true")
+    ap.add_argument("--pod", action="store_true",
+                    help="weak-scaling + collective breakdown on all devices")
     args = ap.parse_args()
-    if args.mesh:
+    if args.pod:
+        result = {"pod_scaling": pod_scaling()}
+    elif args.mesh:
         result = {"mesh": mesh_scaling()}
     elif args.grid:
         result = {"grid_throughput_movielens_K30": grid_throughput()}

@@ -12,7 +12,7 @@ num_repeats, num_repeats_extended = 10, 12
 name = "chimpanzees"
 
 
-def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
+def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/", return_fake_latents=False):
     if key is None:
         key = jax.random.key(run)
     platesizes = {'plate_actors': num_actors, 'plate_blocks': num_blocks,
@@ -22,6 +22,9 @@ def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
     names = ('plate_actors', 'plate_blocks', 'plate_repeats')
 
     if not fake_data:
+        if return_fake_latents:
+            raise ValueError(
+                "return_fake_latents requires fake_data=True")
         # reference file contract: chimpanzees.py:17-31 (train/test pairs
         # concatenated along plate_repeats)
         from _realdata import load_train_test
@@ -52,10 +55,15 @@ def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
 
     P = get_P(all_platesizes, all_covariates)
     sample = P.sample(key=k3)
+    fake_latents = {k_: v_ for k_, v_ in sample.items() if k_ != 'obs'}
     obs = sample['obs'].with_dims_front(names)
     all_data = {'obs': obs}
     data = {'obs': named(obs.data[..., :num_repeats], *names)}
-    return platesizes, all_platesizes, data, all_data, covariates, all_covariates
+    ret = (platesizes, all_platesizes, data, all_data, covariates, all_covariates)
+    if return_fake_latents:
+        # reference parity: movielens.py:7-38 return_fake_latents
+        ret = ret + (fake_latents,)
+    return ret
 
 
 def get_P(platesizes, covariates):
@@ -111,8 +119,12 @@ def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
 
 
 def load_and_generate_problem(key=None, Q_param_type="qem", run=0,
-                              fake_data=True, data_dir="data/"):
-    platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data, data_dir=data_dir)
+                              fake_data=True, data_dir="data/", return_fake_latents=False):
+    out = load_data_covariates(key, run, fake_data, data_dir=data_dir,
+                               return_fake_latents=return_fake_latents)
+    platesizes, all_platesizes, data, all_data, covariates, all_covariates = out[:6]
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
-    return problem, all_data, all_covariates, all_platesizes
+    result = (problem, all_data, all_covariates, all_platesizes)
+    if return_fake_latents:
+        result = result + (out[6],)
+    return result

@@ -17,11 +17,14 @@ name = "covid"
 
 
 def load_data_covariates(key=None, run=0, fake_data=True, nRs=nRs, nDs=nDs,
-                         data_dir="data/"):
+                         data_dir="data/", return_fake_latents=False):
     if key is None:
         key = jax.random.key(run)
 
     if not fake_data:
+        if return_fake_latents:
+            raise ValueError(
+                "return_fake_latents requires fake_data=True")
         # reference file contract: covid.py:15-24 (pre-split train/all files;
         # plate sizes derive from the tensors)
         from _realdata import load_array
@@ -59,10 +62,15 @@ def load_data_covariates(key=None, run=0, fake_data=True, nRs=nRs, nDs=nDs,
 
     P = get_P(all_platesizes, all_covariates)
     sample = P.sample(key=k4)
+    fake_latents = {k_: v_ for k_, v_ in sample.items() if k_ != 'obs'}
     obs = sample['obs'].with_dims_front(('nRs', 'nDs'))
     all_data = {'obs': obs}
     data = {'obs': named(obs.data[:, :nDs_train], 'nRs', 'nDs')}
-    return platesizes, all_platesizes, data, all_data, covariates, all_covariates
+    ret = (platesizes, all_platesizes, data, all_data, covariates, all_covariates)
+    if return_fake_latents:
+        # reference parity: movielens.py:7-38 return_fake_latents
+        ret = ret + (fake_latents,)
+    return ret
 
 
 def get_P(platesizes, covariates):
@@ -140,8 +148,12 @@ def generate_problem(platesizes, data, covariates, Q_param_type="opt"):
 
 
 def load_and_generate_problem(key=None, Q_param_type="opt", run=0,
-                              fake_data=True, data_dir="data/"):
-    platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data, data_dir=data_dir)
+                              fake_data=True, data_dir="data/", return_fake_latents=False):
+    out = load_data_covariates(key, run, fake_data, data_dir=data_dir,
+                               return_fake_latents=return_fake_latents)
+    platesizes, all_platesizes, data, all_data, covariates, all_covariates = out[:6]
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
-    return problem, all_data, all_covariates, all_platesizes
+    result = (problem, all_data, all_covariates, all_platesizes)
+    if return_fake_latents:
+        result = result + (out[6],)
+    return result

@@ -18,13 +18,16 @@ name = "movielens"
 
 
 def load_data_covariates(key=None, run=0, fake_data=True, M=M, N=N,
-                         data_dir="data/"):
+                         data_dir="data/", return_fake_latents=False):
     if key is None:
         key = jax.random.key(run)
     platesizes = {'plate_1': M, 'plate_2': N}
     all_platesizes = {'plate_1': M, 'plate_2': 2 * N}
 
     if not fake_data:
+        if return_fake_latents:
+            raise ValueError(
+                "return_fake_latents requires fake_data=True")
         # reference file contract: movielens.py:12-22
         from _realdata import load_train_test
         x, x_all = load_train_test(data_dir, f"weights_{N}_{M}",
@@ -46,11 +49,16 @@ def load_data_covariates(key=None, run=0, fake_data=True, M=M, N=N,
 
     P = get_P(all_platesizes, all_covariates)
     sample = P.sample(key=k2)
+    fake_latents = {k_: v_ for k_, v_ in sample.items() if k_ != 'obs'}
     obs = sample['obs'].with_dims_front(('plate_1', 'plate_2'))
     all_data = {'obs': obs}
     data = {'obs': named(obs.data[:, :N], 'plate_1', 'plate_2')}
 
-    return platesizes, all_platesizes, data, all_data, covariates, all_covariates
+    ret = (platesizes, all_platesizes, data, all_data, covariates, all_covariates)
+    if return_fake_latents:
+        # reference parity: movielens.py:7-38 return_fake_latents
+        ret = ret + (fake_latents,)
+    return ret
 
 
 def get_P(platesizes, covariates):
@@ -98,8 +106,12 @@ def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
 
 
 def load_and_generate_problem(key=None, Q_param_type="qem", run=0,
-                              fake_data=True, data_dir="data/"):
-    platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data, data_dir=data_dir)
+                              fake_data=True, data_dir="data/", return_fake_latents=False):
+    out = load_data_covariates(key, run, fake_data, data_dir=data_dir,
+                               return_fake_latents=return_fake_latents)
+    platesizes, all_platesizes, data, all_data, covariates, all_covariates = out[:6]
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
-    return problem, all_data, all_covariates, all_platesizes
+    result = (problem, all_data, all_covariates, all_platesizes)
+    if return_fake_latents:
+        result = result + (out[6],)
+    return result

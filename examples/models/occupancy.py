@@ -12,7 +12,7 @@ I_extended = 300
 name = "occupancy"
 
 
-def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
+def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/", return_fake_latents=False):
     if key is None:
         key = jax.random.key(run)
     platesizes = {'plate_Years': M, 'plate_Birds': J, 'plate_Ids': I,
@@ -22,6 +22,9 @@ def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
     names3 = ('plate_Years', 'plate_Birds', 'plate_Ids')
 
     if not fake_data:
+        if return_fake_latents:
+            raise ValueError(
+                "return_fake_latents requires fake_data=True")
         # reference file contract: occupancy.py:17-26 (covariates cat along
         # plate_Ids; obs [.., Ids, Replicate] cat along plate_Ids = axis -2)
         from _realdata import load_train_test
@@ -52,10 +55,15 @@ def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
 
     P = get_P(all_platesizes, all_covariates)
     sample = P.sample(key=k3)
+    fake_latents = {k_: v_ for k_, v_ in sample.items() if k_ != 'obs'}
     obs = sample['obs'].with_dims_front((*names3, 'plate_Replicate'))
     all_data = {'obs': obs}
     data = {'obs': named(obs.data[:, :, :I, :], *names3, 'plate_Replicate')}
-    return platesizes, all_platesizes, data, all_data, covariates, all_covariates
+    ret = (platesizes, all_platesizes, data, all_data, covariates, all_covariates)
+    if return_fake_latents:
+        # reference parity: movielens.py:7-38 return_fake_latents
+        ret = ret + (fake_latents,)
+    return ret
 
 
 def get_P(platesizes, covariates):
@@ -129,8 +137,12 @@ def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
 
 
 def load_and_generate_problem(key=None, Q_param_type="qem", run=0,
-                              fake_data=True, data_dir="data/"):
-    platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data, data_dir=data_dir)
+                              fake_data=True, data_dir="data/", return_fake_latents=False):
+    out = load_data_covariates(key, run, fake_data, data_dir=data_dir,
+                               return_fake_latents=return_fake_latents)
+    platesizes, all_platesizes, data, all_data, covariates, all_covariates = out[:6]
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
-    return problem, all_data, all_covariates, all_platesizes
+    result = (problem, all_data, all_covariates, all_platesizes)
+    if return_fake_latents:
+        result = result + (out[6],)
+    return result

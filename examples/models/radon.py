@@ -12,11 +12,14 @@ n_states, n_zips = 4, 100  # synthetic stand-in shapes
 name = "radon"
 
 
-def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
+def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/", return_fake_latents=False):
     if key is None:
         key = jax.random.key(run)
 
     if not fake_data:
+        if return_fake_latents:
+            raise ValueError(
+                "return_fake_latents requires fake_data=True")
         # reference file contract: radon.py:14-45 (plate sizes derive from
         # the tensors; train = first half of the Zips axis)
         from _realdata import load_array
@@ -50,10 +53,15 @@ def load_data_covariates(key=None, run=0, fake_data=True, data_dir="data/"):
 
     P = get_P(all_platesizes, all_inputs)
     sample = P.sample(key=k3)
+    fake_latents = {k_: v_ for k_, v_ in sample.items() if k_ != 'obs'}
     obs = sample['obs'].with_dims_front(('States', 'Zips'))
     all_data = {'obs': obs}
     data = {'obs': named(obs.data[:, :n_zips // 2], 'States', 'Zips')}
-    return platesizes, all_platesizes, data, all_data, train_inputs, all_inputs
+    ret = (platesizes, all_platesizes, data, all_data, train_inputs, all_inputs)
+    if return_fake_latents:
+        # reference parity: movielens.py:7-38 return_fake_latents
+        ret = ret + (fake_latents,)
+    return ret
 
 
 def get_P(platesizes, covariates):
@@ -101,8 +109,12 @@ def generate_problem(platesizes, data, covariates, Q_param_type="qem"):
 
 
 def load_and_generate_problem(key=None, Q_param_type="qem", run=0,
-                              fake_data=True, data_dir="data/"):
-    platesizes, all_platesizes, data, all_data, covariates, all_covariates = \
-        load_data_covariates(key, run, fake_data, data_dir=data_dir)
+                              fake_data=True, data_dir="data/", return_fake_latents=False):
+    out = load_data_covariates(key, run, fake_data, data_dir=data_dir,
+                               return_fake_latents=return_fake_latents)
+    platesizes, all_platesizes, data, all_data, covariates, all_covariates = out[:6]
     problem = generate_problem(platesizes, data, covariates, Q_param_type)
-    return problem, all_data, all_covariates, all_platesizes
+    result = (problem, all_data, all_covariates, all_platesizes)
+    if return_fake_latents:
+        result = result + (out[6],)
+    return result

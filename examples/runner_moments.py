@@ -27,17 +27,29 @@ def run(model_name, K=30, iters=50, hmc_samples=500, hmc_warmup=500, seed=0,
     from alan_tpu.nuts import run_nuts
     from alan_tpu.dims import as_dt, dims_of
 
+    from alan_tpu.smc import run_smc
+
     model = __import__(model_name)
     problem, all_data, all_covariates, all_platesizes = \
         model.load_and_generate_problem(key=jax.random.key(seed), Q_param_type="qem")
 
-    # "ground truth" posterior means from HMC/NUTS on P
+    # "ground truth" posterior means from HMC/NUTS/SMC on P
     data_flat = {k: v for k, v in problem._data.items()}
-    run_sampler = {"hmc": run_hmc, "nuts": run_nuts}[sampler]
     t0 = time.time()
-    hmc, diag = run_sampler(problem.P, data_flat, num_samples=hmc_samples,
-                            num_warmup=hmc_warmup, num_chains=4,
-                            key=jax.random.key(seed + 1))
+    if sampler == "smc":
+        smc_samples, info = run_smc(problem.P, data_flat,
+                                    num_particles=max(hmc_samples, 256),
+                                    key=jax.random.key(seed + 1))
+        # normalise to the (draw, chain, ...) layout the MSE loop expects
+        from alan_tpu.dims import DT as _DT
+        hmc = {k: _DT(v.data[:, None], ("draw", "chain") + v.dims[1:])
+               for k, v in smc_samples.items()}
+        diag = {"log_Z": float(info["log_Z"]), "stages": int(info["stages"])}
+    else:
+        run_sampler = {"hmc": run_hmc, "nuts": run_nuts}[sampler]
+        hmc, diag = run_sampler(problem.P, data_flat, num_samples=hmc_samples,
+                                num_warmup=hmc_warmup, num_chains=4,
+                                key=jax.random.key(seed + 1))
     hmc_time = time.time() - t0
 
     # train MP posterior with QEM, then compute moments

@@ -1,0 +1,166 @@
+"""Microbenchmark: fused Pallas low-rank logsumexp vs the dense XLA path.
+
+Shapes mirror grouped movielens' hot factor (reference hot path being
+replaced: ``reduce_Ks.py:249-251``): S=1 shared, P=300 plate rows, I=K child
+particles, J=K parent particles, F=36 features (2 terms x d_z=18).
+
+Times forward and forward+backward separately with fetch-ended slope timing
+(remote-tunnel-safe), then the end-to-end grouped-movielens QEM step dense
+vs lazy.  Writes results into BENCH_DETAIL.json under "lowrank_kernel".
+"""
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "examples", "models"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def slope_time(f, *args, n=10, reps=3):
+    """Seconds per call: slope between n and 4n fetch-ended loops, best of
+    ``reps`` (the remote tunnel adds occasional multi-ms stalls that can
+    even turn a single slope negative)."""
+    for _ in range(2):                                      # compile/settle
+        out = f(*args)
+        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    best, last = None, None
+    for _ in range(reps):
+        totals = {}
+        for N in (n, 4 * n):
+            t0 = time.perf_counter()
+            for _ in range(N):
+                out = f(*args)
+            float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+            totals[N] = time.perf_counter() - t0
+        last = (totals[4 * n] - totals[n]) / (3 * n)
+        if last > 0 and (best is None or last < best):
+            best = last
+    return best if best is not None else last
+
+
+def device_loop_time(f, args, m=8):
+    """Per-application time via a DEVICE-side lax.scan of m vs 4m chained
+    applications inside single jitted calls — immune to the per-dispatch
+    stalls of the remote tunnel that can turn host-loop slopes negative.
+    ``f(*args) -> pytree``; a tiny data dependency chains iterations so XLA
+    can't hoist the loop body."""
+    def make(mm):
+        @jax.jit
+        def run(args):
+            def body(c, _):
+                out = f(*c)
+                leaf = jax.tree.leaves(out)[0]
+                bump = (leaf.ravel()[0] * 1e-30).astype(c[0].dtype)
+                return (c[0] + bump, *c[1:]), ()
+            c, _ = jax.lax.scan(body, args, None, length=mm)
+            return c[0]
+        return run
+
+    runs = {mm: make(mm) for mm in (m, 4 * m)}
+    for r in runs.values():
+        float(np.asarray(r(args)).ravel()[0])      # compile + settle
+    best, last = None, None
+    for _ in range(3):
+        totals = {}
+        for mm, r in runs.items():
+            t0 = time.perf_counter()
+            float(np.asarray(r(args)).ravel()[0])
+            totals[mm] = time.perf_counter() - t0
+        last = (totals[4 * m] - totals[m]) / (3 * m)
+        if last > 0 and (best is None or last < best):
+            best = last
+    return best if best is not None else last
+
+
+def kernel_micro(K, P=300, F=36, S=1):
+    from alan_tpu.ops.pallas_lowrank import (
+        lowrank_logsumexp, reference_lowrank_logsumexp)
+
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.standard_normal((S, P, K, F)) * 0.3, jnp.float32)
+    V = jnp.asarray(rng.standard_normal((S, K, F)) * 0.3, jnp.float32)
+    D = jnp.asarray(rng.standard_normal((S, P, K)), jnp.float32)
+
+    fused_f = lambda u, v, d: lowrank_logsumexp(u, v, d)
+    dense_f = reference_lowrank_logsumexp
+
+    def make_grad(f):
+        return jax.grad(lambda u, v, d: f(u, v, d).sum(), argnums=(0, 1, 2))
+
+    out = {}
+    a, b = jax.jit(fused_f)(U, V, D), jax.jit(dense_f)(U, V, D)
+    out["max_abs_err_fwd"] = float(jnp.max(jnp.abs(a - b)))
+
+    args = (U, V, D)
+    out["fused_fwd_s"] = device_loop_time(fused_f, args)
+    out["dense_fwd_s"] = device_loop_time(dense_f, args)
+    out["fused_grad_s"] = device_loop_time(make_grad(fused_f), args)
+    out["dense_grad_s"] = device_loop_time(make_grad(dense_f), args)
+    ga = jax.jit(make_grad(fused_f))(U, V, D)
+    gb = jax.jit(make_grad(dense_f))(U, V, D)
+    out["max_abs_err_grad"] = float(max(jnp.max(jnp.abs(x - y))
+                                        for x, y in zip(ga, gb)))
+    return out
+
+
+def end_to_end(K):
+    from bench_scaling import _grouped_movielens, time_step
+    from alan_tpu import train
+    out = {}
+    for tag, env in (("dense", {"ALAN_TPU_NO_LAZY_LOWRANK": "1"}),
+                     ("lazy", {"ALAN_TPU_LAZY_LOWRANK": "1"})):
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            with jax.default_device(jax.devices("cpu")[0]):
+                problem = _grouped_movielens()
+            step, state = train.qem(problem, K, lr=0.1)
+            dt, elbo = time_step(step, state, n=5)
+            out[tag] = {"step_s": dt, "elbo": elbo}
+            print(f"K={K} {tag}: {dt*1e3:.2f} ms/step", flush=True)
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--Ks", type=int, nargs="+", default=[300, 1000])
+    ap.add_argument("--micro-only", action="store_true")
+    ap.add_argument("--e2e-only", action="store_true")
+    args = ap.parse_args()
+
+    result = {}
+    for K in args.Ks:
+        r = {}
+        if not args.e2e_only:
+            r["micro"] = kernel_micro(K)
+            print(f"K={K} micro:", json.dumps(r["micro"]), flush=True)
+        if not args.micro_only:
+            r["e2e"] = end_to_end(K)
+        result[f"K{K}"] = r
+
+    path = os.path.join(_REPO, "BENCH_DETAIL.json")
+    prev = {}
+    if os.path.exists(path):
+        prev = json.load(open(path))
+    prev.setdefault("lowrank_kernel", {}).update(result)
+    json.dump(prev, open(path, "w"), indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

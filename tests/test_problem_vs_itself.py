@@ -29,6 +29,7 @@ tp_names = [
     "model_linear_multivariate_gaussian_batch",
     "model_linear_multivariate_gaussian_param",
     "model_timeseries",
+    "model_double_timeseries",
 ]
 
 tps = {name: importlib.import_module(name).tp for name in tp_names}

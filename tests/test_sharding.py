@@ -172,3 +172,102 @@ def test_split_on_timeseries_plate_raises():
     s = prob.sample(4, key=jax.random.key(0))
     with pytest.raises(ValueError, match="can't Split along plate 'T'"):
         s.elbo_vi(computation_strategy=Split('T', 4))
+
+
+def _covid_shaped_problem(R=4, T=16, param="qem"):
+    """Regions x T plate with a latent AR(1) timeseries — the covid shape."""
+    import jax.numpy as jnp
+    from alan_tpu import (Normal, Timeseries, Plate, BoundPlate, Problem,
+                          Data, QEMParam, OptParam, named)
+    Par = QEMParam if param == "qem" else OptParam
+    P = Plate(
+        mu=Normal(0., 1.),
+        regions=Plate(
+            init=Normal('mu', 1.),
+            T=Plate(
+                ts=Timeseries('init', Normal(lambda prev: 0.9 * prev, 0.3)),
+                obs=Normal('ts', 1.),
+            ),
+        ),
+    )
+    Q = Plate(
+        mu=Normal(Par(0.), Par(1.)),
+        regions=Plate(
+            init=Normal(Par(0.), Par(1.)),
+            T=Plate(
+                ts=Normal(Par(0.), Par(1.)),
+                obs=Data(),
+            ),
+        ),
+    )
+    ps = {'regions': R, 'T': T}
+    rng = np.random.default_rng(3)
+    data = {'obs': named(jnp.asarray(rng.standard_normal((R, T)), jnp.float32),
+                         'regions', 'T')}
+    return Problem(BoundPlate(P, ps), BoundPlate(Q, ps), data)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_timeseries_T_sharded_training_matches_unsharded(monkeypatch):
+    """A covid-shaped model trains with the T dim sharded over the mesh and
+    the chain contraction routed to chain_logmmexp_sharded; results match
+    the unsharded step (VERDICT r1 next-step #2)."""
+    import alan_tpu.parallel.seq as seq
+    calls = []
+    orig = seq.chain_logmmexp_sharded
+    monkeypatch.setattr(seq, "chain_logmmexp_sharded",
+                        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+
+    problem = _covid_shaped_problem()
+    K = 8
+    step_plain, state_plain = train.qem(problem, K, lr=0.1)
+    (sP0, sQ0), elbo_plain = step_plain(state_plain, jax.random.key(0))
+
+    mesh = make_mesh({"t": 8})
+    plan = MeshPlan(mesh, {"T": "t"})
+    step_sh, state_sh = train.qem(problem, K, lr=0.1, mesh_plan=plan)
+    with mesh:
+        (sP1, sQ1), elbo_sh = step_sh(state_sh, jax.random.key(0))
+
+    assert calls, "sharded chain contraction was not routed"
+    assert np.isclose(float(elbo_plain), float(elbo_sh), rtol=1e-4, atol=1e-4)
+    for k in sQ0["qem_params"]:
+        a = np.asarray(sQ0["qem_params"][k].data)
+        b = np.asarray(sQ1["qem_params"][k].data)
+        assert np.allclose(a, b, rtol=1e-3, atol=1e-4), k
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_timeseries_T_sharded_vi_grads_match(monkeypatch):
+    """Gradients flow through the T-sharded chain: one VI step sharded ==
+    unsharded."""
+    problem = _covid_shaped_problem(R=2, T=8, param="opt")
+    K = 4
+    step_plain, state_plain = train.vi(problem, K, lr=0.01)
+    (sP0, sQ0, _), elbo_plain = step_plain(state_plain, jax.random.key(1))
+
+    mesh = make_mesh({"t": 8})
+    plan = MeshPlan(mesh, {"T": "t"})
+    step_sh, state_sh = train.vi(problem, K, lr=0.01, mesh_plan=plan)
+    with mesh:
+        (sP1, sQ1, _), elbo_sh = step_sh(state_sh, jax.random.key(1))
+    assert np.isclose(float(elbo_plain), float(elbo_sh), rtol=1e-4, atol=1e-4)
+    for k in sQ0["opt"]:
+        a = np.asarray(sQ0["opt"][k].data)
+        b = np.asarray(sQ1["opt"][k].data)
+        assert np.allclose(a, b, rtol=1e-3, atol=1e-4), k
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sequence_sharded_ring_matches():
+    """ppermute-ring boundary exchange == all_gather == unsharded."""
+    import jax.numpy as jnp
+    from alan_tpu.ops.logmmexp import chain_logmmexp
+    from alan_tpu.parallel.seq import chain_logmmexp_sharded
+
+    rng = np.random.default_rng(5)
+    ms = jnp.asarray(rng.standard_normal((2, 32, 8, 8)), jnp.float32)
+    ref = chain_logmmexp(ms)
+    mesh = make_mesh({"t": 8})
+    out = chain_logmmexp_sharded(ms, mesh, "t", method="ring")
+    assert np.allclose(np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-4)
