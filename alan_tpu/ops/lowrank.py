@@ -121,8 +121,10 @@ def lowrank_applicable(family_name, x, params, arg_dims) -> bool:
     work = math.prod(sizes.values()) * F
     # The factored operands materialise prod(side dims) * F floats; with
     # several disjoint param K-dims (ungrouped models) the V side would be a
-    # K^n cross — cap both operands at ~256MB f32.
-    cap = 1 << 26
+    # K^n cross — cap both operands (default ~256MB f32;
+    # ALAN_TPU_LOWRANK_OPERAND_CAP overrides — covid's timeseries factor
+    # has u_elems 7.6e7 and benefits from 2^27).
+    cap = int(os.environ.get("ALAN_TPU_LOWRANK_OPERAND_CAP", str(1 << 26)))
     u_elems = math.prod(sizes[d] for d in sizes if d not in p_only) * F
     v_elems = math.prod(sizes[d] for d in p_only) * F
     if u_elems > cap or v_elems > cap:

@@ -87,7 +87,7 @@ def main():
     ap.add_argument("--K", type=int, default=30)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--hmc-samples", type=int, default=500)
-    ap.add_argument("--sampler", default="hmc", choices=["hmc", "nuts"])
+    ap.add_argument("--sampler", default="hmc", choices=["hmc", "nuts", "smc"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     a = ap.parse_args()
