@@ -187,15 +187,20 @@ class BoundPlate:
         return tensordict2tree(self.plate, self.inputs_params_flat_named(state))
 
     # ---- QEM updates (reference BoundPlate.py:256-296) -------------------
-    def _updated_qem_state(self, lr, sample, computation_strategy, state=None):
+    def _updated_qem_state(self, lr, sample, computation_strategy, state=None,
+                           moments=None):
         """Pure QEM step: EMA the posterior moments and re-derive conventional
-        params; returns a new state pytree."""
+        params; returns a new state pytree.  ``moments`` may carry the
+        precomputed moment list for ``qem_flat_list_rmkeys`` (the fused QEM
+        step extracts P's and Q's moments plus the ELBO in one grad pass)."""
         state = state if state is not None else self._state
         new_means = dict(state["qem_means"])
         rmkey_list = self.qem_flat_list_rmkeys
         if rmkey_list:
-            new_moment_list = sample._moments_uniform_input(
-                rmkey_list, computation_strategy=computation_strategy)
+            new_moment_list = moments if moments is not None else \
+                sample._moments_uniform_input(
+                    rmkey_list, computation_strategy=computation_strategy)
+            assert len(new_moment_list) == len(rmkey_list)
             for rmkey, new_moment in zip(rmkey_list, new_moment_list):
                 meanname = self.qem_rmkey2meanname[rmkey]
                 prev = new_means[meanname]

@@ -151,7 +151,7 @@ class Sample:
                          self.problem.Q.plate.varname2groupvarname())
 
     # ---- moments via source terms (reference Sample.py:291-346) ----------
-    def _moments_uniform_input(self, moms, computation_strategy=no_checkpoint):
+    def _moment_specs(self, moms):
         assert isinstance(moms, list)
         for (varnames, m) in moms:
             if not isinstance(m, RawMoment):
@@ -161,7 +161,7 @@ class Sample:
         set_platenames = set(self.all_platedims)
 
         specs = []
-        for varnames, m in moms:
+        for i, (varnames, m) in enumerate(moms):
             samples = [flat_sample[vn] for vn in varnames]
             platedimss = [[d for d in dims_of(s) if d in set_platenames] for s in samples]
             longest = sorted(platedimss, key=len)[-1]
@@ -171,7 +171,13 @@ class Sample:
             f = detach(as_dt(m.f(*samples)))
             dims = tuple(longest)
             shape = tuple([self.all_platedims[d] for d in dims]) + f.pos_shape
-            specs.append(((varnames, m), dims, shape, f))
+            # key by position: the same (varnames, moment) may appear twice
+            # (e.g. P's and Q's QEM stats in one fused pass)
+            specs.append((i, dims, shape, f))
+        return specs
+
+    def _moments_uniform_input(self, moms, computation_strategy=no_checkpoint):
+        specs = self._moment_specs(moms)
 
         def loss(J_list):
             elfs = {}
@@ -182,6 +188,24 @@ class Sample:
         J0 = [jnp.zeros(shape) for (_, _, shape, _) in specs]
         grads = jax.grad(loss)(J0)
         return [DT(g, dims) for (_, dims, _, _), g in zip(specs, grads)]
+
+    def _moments_and_elbo(self, moms, computation_strategy=no_checkpoint):
+        """(elbo, moments) in ONE forward + ONE backward: the J source terms
+        are zero, so the loss value IS the plain ELBO while its gradient
+        w.r.t. the Js reads off all the moments (used by the fused QEM step,
+        which otherwise pays 3 forwards + 2 backwards for P-moments,
+        Q-moments and the reported ELBO)."""
+        specs = self._moment_specs(moms)
+
+        def loss(J_list):
+            elfs = {}
+            for ((key_, dims, shape, f), J) in zip(specs, J_list):
+                elfs[key_] = f * DT(J, dims)
+            return self._elbo(self.detached_sample, elfs, computation_strategy)
+
+        J0 = [jnp.zeros(shape) for (_, _, shape, _) in specs]
+        elbo, grads = jax.value_and_grad(loss)(J0)
+        return elbo, [DT(g, dims) for (_, dims, _, _), g in zip(specs, grads)]
 
     _moments = torchdim_moments_mixin
     moments = named_moments_mixin

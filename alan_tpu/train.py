@@ -161,11 +161,23 @@ def qem(problem, K: int, lr=0.1, sampler=PermutationSampler,
         with _plan_active(mesh_plan):
             s = _make_sample(problem, K, False, sampler, key, stateP, stateQ,
                              mesh_plan)
+            # ONE fused value_and_grad pass: the zero J source terms make
+            # the loss value the plain ELBO while its gradient reads off
+            # P's AND Q's posterior sufficient-stat moments (vs 3 forwards
+            # + 2 backwards when computed separately)
+            rmP = problem.P.qem_flat_list_rmkeys
+            rmQ = problem.Q.qem_flat_list_rmkeys
+            if rmP or rmQ:
+                elbo, all_moments = s._moments_and_elbo(
+                    list(rmP) + list(rmQ), computation_strategy)
+                momP, momQ = all_moments[:len(rmP)], all_moments[len(rmP):]
+            else:
+                elbo = s._elbo(s.detached_sample, None, computation_strategy)
+                momP = momQ = None
             newP = problem.P._updated_qem_state(lr, s, computation_strategy,
-                                                state=stateP)
+                                                state=stateP, moments=momP)
             newQ = problem.Q._updated_qem_state(lr, s, computation_strategy,
-                                                state=stateQ)
-            elbo = s._elbo(s.detached_sample, None, computation_strategy)
+                                                state=stateQ, moments=momQ)
         return (newP, newQ), elbo
 
     state0 = _strong((problem.P.state(), problem.Q.state()))
