@@ -32,22 +32,39 @@ def time_step(step, state, n=10):
     two-length slope cancels the constant fetch/dispatch overhead."""
     import numpy as np
     state0 = state
-    # warm up TWO chained calls: under a mesh plan the returned state can
-    # carry different shardings than state0, so the second call signature
-    # compiles separately — warming only one call put that compile inside
-    # the first timed loop (negative slopes on the virtual mesh)
+    # warm up chained calls until the state aval reaches a fixpoint: the
+    # returned state can differ from the input in weak_type, dtype or
+    # sharding for the first call or two, and each distinct signature
+    # compiles separately — any compile left inside the first timed loop
+    # turns the slope negative
+    def sig(tree):
+        return [(getattr(x, "shape", None), getattr(x, "dtype", None),
+                 getattr(getattr(x, "aval", None), "weak_type", None),
+                 str(getattr(x, "sharding", None)))
+                for x in jax.tree.leaves(tree)]
     state, elbo = step(state0, jax.random.key(0))
-    state, elbo = step(state, jax.random.key(0))
+    for _ in range(4):
+        prev_sig = sig(state)
+        state, elbo = step(state, jax.random.key(0))
+        if sig(state) == prev_sig:
+            break
     float(np.asarray(elbo))                      # compile + settle
-    totals = {}
-    for N in (n, 4 * n):
-        state = state0
-        t0 = time.perf_counter()
-        for i in range(N):
-            state, elbo = step(state, jax.random.key(i + 1))
-        v = float(np.asarray(elbo))
-        totals[N] = time.perf_counter() - t0
-    return (totals[4 * n] - totals[n]) / (3 * n), v
+    # best-of-reps with positive-only selection: the remote tunnel adds
+    # occasional multi-second stalls that can turn a single slope negative
+    best, v = None, None
+    for _ in range(2):
+        totals = {}
+        for N in (n, 4 * n):
+            state = state0
+            t0 = time.perf_counter()
+            for i in range(N):
+                state, elbo = step(state, jax.random.key(i + 1))
+            v = float(np.asarray(elbo))
+            totals[N] = time.perf_counter() - t0
+        dt = (totals[4 * n] - totals[n]) / (3 * n)
+        if dt > 0 and (best is None or dt < best):
+            best = dt
+    return (best if best is not None else dt), v
 
 
 def _grouped_movielens():
