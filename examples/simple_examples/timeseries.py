@@ -1,7 +1,10 @@
-"""Grouped double-timeseries demo (parity: reference
-``examples/simple_examples/timeseries.py``; Q groups the two chains so they
-share one K-dim, which is also what makes the single-chain contraction over
-T well-defined)."""
+"""Double-timeseries demo (parity: reference
+``examples/simple_examples/timeseries.py``).
+
+Part 1 groups the two chains so they share one K-dim (the reference's
+layout, cheapest: one K x K chain).  Part 2 leaves them UNGROUPED — each
+chain keeps its own K-dim and the engine contracts the joint
+[T, K^2, K^2] product chain (O(K^4) memory: keep K small or group)."""
 import os
 import sys
 
@@ -48,3 +51,21 @@ problem = Problem(bP, bQ, data)
 sample = problem.sample(K=10)
 
 print("elbo:", float(sample.elbo_vi()))
+
+
+# ---- part 2: the same two chains UNGROUPED (each keeps its own K-dim;
+# the engine contracts the joint product chain — exact, O(K^4) memory) ----
+Q_ungrouped = Plate(
+    ts1_init=Normal(0., 1.),
+    ts2_init=Normal(0., 1.),
+    T=Plate(
+        ts1=Normal(0., 1.),
+        ts2=Normal(0., 1.),
+        a=Data(),
+    ),
+)
+problem_u = Problem(bP, BoundPlate(Q_ungrouped, {'T': 3}), data)
+sample_u = problem_u.sample(K=10)
+print("elbo (ungrouped, joint chain):", float(sample_u.elbo_vi()))
+isamp = sample_u.importance_sample(N=20, key=jax.random.key(1))
+print("joint-FFBS posterior draws:", isamp.dump()['ts1'].dims)
