@@ -32,7 +32,9 @@ def _pq_of(state, method):
 
 def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
         Q_param_type=None, split=None, seed=0, out=None, predll_every=0,
-        fuse_iters=False, runs=1, data_dir=None):
+        fuse_iters=False, runs=1, data_dir=None, mesh_spec=None,
+        shard_spec=None, shard_all_k=None):
+    import contextlib
     from alan_tpu import train, Split, no_checkpoint
 
     model = __import__(model_name)
@@ -49,10 +51,32 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
                 "global_vi": 0.01, "global_rws": 0.01, "global_qem": 0.1}
     lr = lr if lr is not None else defaults[method]
 
+    # optional multi-chip sharding: --mesh k=2,p=4 --shard plate_1=p,T=t
+    # [--shard-all-k k] maps dim names onto a device mesh (timeseries plate
+    # dims route the chain contraction to its T-sharded implementation)
+    mesh_ctx = contextlib.nullcontext()
+    mesh_plan = None
+    if mesh_spec:
+        from alan_tpu.parallel.mesh import make_mesh, MeshPlan
+        axes = {k: int(v) for k, v in
+                (kv.split("=") for kv in mesh_spec.split(","))}
+        mesh = make_mesh(axes)
+        dim2axis = {} if not shard_spec else dict(
+            kv.split("=") for kv in shard_spec.split(","))
+        mesh_plan = MeshPlan(mesh, dim2axis)
+        if shard_all_k:
+            mesh_plan = mesh_plan.with_all_K(shard_all_k)
+        mesh_ctx = mesh
+
     factory = {"vi": train.vi, "rws": train.rws, "qem": train.qem,
                "global_vi": train.global_vi, "global_rws": train.global_rws,
                "global_qem": train.global_qem}[method]
-    kwargs = {} if method.startswith("global") else {"computation_strategy": strategy}
+    if method.startswith("global"):
+        if mesh_plan is not None:
+            raise ValueError("--mesh is not supported for global_* methods")
+        kwargs = {}
+    else:
+        kwargs = {"computation_strategy": strategy, "mesh_plan": mesh_plan}
     step, state = factory(problem, K, lr=lr, **kwargs)
 
     # optional predictive-LL *trajectory* (reference records per-iteration
@@ -78,6 +102,8 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
 
     key = jax.random.key(seed + 1)
     per_run_elbos = None
+    _stack = contextlib.ExitStack()
+    _stack.enter_context(mesh_ctx)
     if fuse_iters or runs > 1:
         # whole-loop fusion: all iterations (x all runs) compile into ONE
         # XLA program — no per-iteration host dispatch, and independent
@@ -125,6 +151,8 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
             iter_times.append(time.time() - t0)
             elbos.append(float(elbo))
             eval_pll(i, state)
+
+    _stack.close()
 
     # write trained state back
     stateP, stateQ = _pq_of(state, method)
@@ -190,14 +218,31 @@ def main():
                     help="load the real dataset from this directory "
                          "(reference .pt file-name contract; default: "
                          "fake data generated from the prior)")
+    ap.add_argument("--mesh", default=None, metavar="AXIS=N,...",
+                    help="device mesh axes, e.g. k=2,p=4")
+    ap.add_argument("--shard", default=None, metavar="DIM=AXIS,...",
+                    help="map dim names to mesh axes, e.g. plate_1=p,T=t")
+    ap.add_argument("--shard-all-k", default=None, metavar="AXIS",
+                    help="additionally shard every K-dim over this axis")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="force this many virtual host-platform devices "
+                         "(CPU testing of --mesh)")
     args = ap.parse_args()
+    if args.devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
     split = (args.split[0], int(args.split[1])) if args.split else None
     result = run(args.model, args.method, args.K, args.iters, args.lr,
                  args.predll_N, args.Q_param_type, split, args.seed, args.out,
                  predll_every=args.predll_every, fuse_iters=args.fuse_iters,
-                 runs=args.runs, data_dir=args.data_dir)
+                 runs=args.runs, data_dir=args.data_dir, mesh_spec=args.mesh,
+                 shard_spec=args.shard, shard_all_k=args.shard_all_k)
     print(json.dumps({k: v for k, v in result.items()
                       if k not in ("elbos", "iter_times", "p_lls",
                                    "per_run_elbos")}, indent=1))
