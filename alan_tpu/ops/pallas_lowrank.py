@@ -91,18 +91,27 @@ def _cparams(dimension_semantics):
 
 # ---- tiling ----------------------------------------------------------------
 
-_BP = 8                      # plate rows per tile
-# f32 elements of the in-VMEM score tile (1MB).  The backward holds the
-# score tile plus gw plus the dU/dV accumulators concurrently; 512k elements
-# put it 0.5MB over the 16MB scoped-vmem limit at (P=300, I=1000, F=36).
-_SCORE_BUDGET = 256 * 1024
+# plate rows / score elements per tile, separately for fwd and bwd: the
+# forward holds only scores + two (bp, bj) accumulators, so it can afford
+# much larger tiles (fewer grid steps, better DMA pipelining, bigger MXU
+# calls); the backward additionally holds gw plus the dU accumulator and dV
+# output concurrently — 512k score elements put it 0.5MB over the 16MB
+# scoped-vmem limit at (P=300, I=1000, F=36).  Env-tunable for sweeps.
+_BP_FWD = int(os.environ.get("ALAN_TPU_LOWRANK_BP_FWD", "16"))
+_BP_BWD = int(os.environ.get("ALAN_TPU_LOWRANK_BP_BWD", "8"))
+_SCORE_BUDGET_FWD = int(os.environ.get("ALAN_TPU_LOWRANK_SCORE_FWD",
+                                       str(1024 * 1024)))
+_SCORE_BUDGET_BWD = int(os.environ.get("ALAN_TPU_LOWRANK_SCORE_BWD",
+                                       str(256 * 1024)))
 
 
-def _tiles(P, I, J, F):
+def _tiles(P, I, J, F, bwd=False):
     """(bp, bi, bj) or None if no legal tiling fits VMEM."""
-    bp = min(_BP, max(1, P)) if P < _BP else _BP
+    BP = _BP_BWD if bwd else _BP_FWD
+    budget = _SCORE_BUDGET_BWD if bwd else _SCORE_BUDGET_FWD
+    bp = min(BP, max(1, P)) if P < BP else BP
     bj = J if J <= 128 else 128            # minor dim: full or mult-of-128
-    bi_cap = _SCORE_BUDGET // max(1, bp * bj)
+    bi_cap = budget // max(1, bp * bj)
     if I <= bi_cap:
         bi = I                             # full i in one tile
     else:
@@ -220,7 +229,7 @@ def _bwd_kernel(u_ref, v_ref, d_ref, o_ref, g_ref, du_ref, dd_ref, dv_ref,
 def _pallas_bwd(U, V, D, out, g, interpret=False):
     S, P, I, F = U.shape
     J = V.shape[1]
-    bp, bi, bj = _tiles(P, I, J, F)
+    bp, bi, bj = _tiles(P, I, J, F, bwd=True)
     np_, ni, nj = pl.cdiv(P, bp), pl.cdiv(I, bi), pl.cdiv(J, bj)
     dU, dD, dVx = pl.pallas_call(
         functools.partial(_bwd_kernel, nj=nj, p_valid=P, i_valid=I, j_valid=J),
@@ -298,16 +307,17 @@ def fused_available(S, P, I, J, F) -> bool:
     if not _PALLAS_OK or os.environ.get("ALAN_TPU_NO_LAZY_LOWRANK") == "1":
         return False
     if os.environ.get("ALAN_TPU_LAZY_LOWRANK_INTERPRET") == "1":
-        return _tiles(P, I, J, F) is not None
+        return (_tiles(P, I, J, F) is not None
+                and _tiles(P, I, J, F, bwd=True) is not None)
     try:
         if jax.devices()[0].platform != "tpu":
             return False
     except Exception:  # pragma: no cover
         return False
-    if _tiles(P, I, J, F) is None:
+    if _tiles(P, I, J, F) is None or _tiles(P, I, J, F, bwd=True) is None:
         return False
     # dV expansion in the backward must stay small
-    bp, bi, bj = _tiles(P, I, J, F)
+    bp, bi, bj = _tiles(P, I, J, F, bwd=True)
     n_exp = pl.cdiv(P, bp) * pl.cdiv(I, bi) * S
     if n_exp * pl.cdiv(J, bj) * bj * F * 4 > 256 * 1024 * 1024:
         return False
