@@ -149,3 +149,37 @@ def test_training_improves_predictive_ll(name):
     for k in pll0:
         assert float(pll1[k]) > float(pll0[k]), (k, float(pll0[k]),
                                                  float(pll1[k]))
+
+
+def test_double_timeseries_extend_predictive():
+    """extend + predictive_ll across TWO ungrouped timeseries in one plate
+    (joint-FFBS posterior draws rolled forward independently per chain)."""
+    import jax.numpy as jnp
+    from alan_tpu import (Normal, Timeseries, Plate, BoundPlate, Problem,
+                          Data, named)
+
+    P = Plate(
+        init1=Normal(0., 1.), init2=Normal(0., 1.),
+        T=Plate(
+            ts1=Timeseries("init1", Normal(lambda prev: 0.9 * prev, 0.4)),
+            ts2=Timeseries("init2", Normal(lambda prev: 0.5 * prev, 0.4)),
+            obs=Normal(lambda ts1, ts2: ts1 + ts2, 1.0),
+        ),
+    )
+    Q = Plate(
+        init1=Normal(0., 1.), init2=Normal(0., 1.),
+        T=Plate(ts1=Normal(0., 1.), ts2=Normal(0., 1.), obs=Data()),
+    )
+    rng = np.random.default_rng(0)
+    prob = Problem(BoundPlate(P, {'T': 4}), BoundPlate(Q, {'T': 4}),
+                   {'obs': named(jnp.asarray(rng.standard_normal(4),
+                                             jnp.float32), 'T')})
+    s = prob.sample(16, key=jax.random.key(0))
+    isamp = s.importance_sample(50, key=jax.random.key(1))
+    ext = isamp.extend({'T': 7}, None, key=jax.random.key(2))
+    all_data = {'obs': named(jnp.asarray(rng.standard_normal(7), jnp.float32),
+                             'T')}
+    pll = ext.predictive_ll(all_data)
+    assert np.isfinite(float(pll['obs'].data))
+    d = ext.dump()
+    assert d['ts1'].dim_size('T') == 7 and d['ts2'].dim_size('T') == 7
