@@ -41,6 +41,36 @@ def tiny_problem():
     return Problem(Pb, Qb, data)
 
 
+def ts_problem():
+    """Covid-shaped: regions x T plate with a latent AR(1) timeseries."""
+    import jax.numpy as jnp
+    import numpy as np
+    from alan_tpu import (Normal, Timeseries, Plate, BoundPlate, Problem,
+                          Data, QEMParam, named)
+    P = Plate(
+        mu=Normal(0., 1.),
+        regions=Plate(
+            init=Normal('mu', 1.),
+            T=Plate(
+                ts=Timeseries('init', Normal(lambda prev: 0.9 * prev, 0.3)),
+                obs=Normal('ts', 1.),
+            ),
+        ),
+    )
+    Q = Plate(
+        mu=Normal(QEMParam(0.), QEMParam(1.)),
+        regions=Plate(
+            init=Normal(QEMParam(0.), QEMParam(1.)),
+            T=Plate(ts=Normal(QEMParam(0.), QEMParam(1.)), obs=Data()),
+        ),
+    )
+    ps = {'regions': 2, 'T': 8}
+    rng = np.random.default_rng(3)
+    data = {'obs': named(jnp.asarray(rng.standard_normal((2, 8)), jnp.float32),
+                         'regions', 'T')}
+    return Problem(BoundPlate(P, ps), BoundPlate(Q, ps), data)
+
+
 def main(pid, nproc, port, outfile):
     # 2 local CPU devices per process; must be set before jax imports
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -77,9 +107,21 @@ def main(pid, nproc, port, outfile):
             m, s2 = jax.jit(lambda a: (jnp.mean(a), jnp.sum(a * a)))(v.data)
             summaries[k] = [float(m), float(s2)]
 
+    # T-sharded timeseries training across the process boundary: the chain
+    # contraction's boundary-operator exchange (all_gather of K x K blocks)
+    # crosses hosts
+    prob_ts = ts_problem()
+    mesh_t = distributed.global_mesh({"t": 2 * nproc})
+    plan_t = MeshPlan(mesh_t, {"T": "t"})
+    step_t, state_t0 = train.qem(prob_ts, 4, lr=0.1, mesh_plan=plan_t)
+    state_t0 = jax.tree.map(np.asarray, state_t0)
+    with mesh_t:
+        _, elbo_t = step_t(state_t0, jax.random.key(1))
+
     with open(outfile, "w") as f:
         json.dump({"pid": pid, "n_global_devices": len(jax.devices()),
-                   "elbo": float(elbo), "qem_params": summaries}, f)
+                   "elbo": float(elbo), "qem_params": summaries,
+                   "ts_elbo": float(elbo_t)}, f)
     jax.distributed.shutdown()
 
 

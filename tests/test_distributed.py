@@ -36,14 +36,16 @@ def _free_port():
 def _reference_result():
     """Unsharded single-process reference (same seed, same program, no
     mesh plan) to compare the 2-process cluster result against."""
-    from tests._distributed_worker import tiny_problem  # reuse the model
+    from tests._distributed_worker import tiny_problem, ts_problem
     problem = tiny_problem()
     step, state0 = train.qem(problem, 8, lr=0.1)
     (sP, sQ), elbo = step(state0, jax.random.key(0))
     summaries = {k: [float(np.mean(np.asarray(v.data))),
                      float(np.sum(np.asarray(v.data) ** 2))]
                  for k, v in sQ["qem_params"].items()}
-    return float(elbo), summaries
+    step_t, state_t0 = train.qem(ts_problem(), 4, lr=0.1)
+    _, elbo_t = step_t(state_t0, jax.random.key(1))
+    return float(elbo), summaries, float(elbo_t)
 
 
 def _spawn_cluster(tmp_path, nproc, attempt):
@@ -97,8 +99,13 @@ def test_two_process_cluster_matches_single_process(tmp_path):
                                      rel=1e-7, abs=1e-9), k
 
     # distributed == single-process (collective reordering tolerance)
-    elbo_ref, summ_ref = _reference_result()
+    elbo_ref, summ_ref, elbo_t_ref = _reference_result()
     assert results[0]["elbo"] == pytest.approx(elbo_ref, rel=1e-4, abs=1e-4)
+    # T-sharded timeseries chain across the process boundary
+    assert results[0]["ts_elbo"] == pytest.approx(elbo_t_ref,
+                                                  rel=1e-4, abs=1e-4)
+    assert results[0]["ts_elbo"] == pytest.approx(results[1]["ts_elbo"],
+                                                  abs=1e-5)
     for k, (m, s2) in summ_ref.items():
         dm, ds2 = results[0]["qem_params"][k]
         assert dm == pytest.approx(m, rel=1e-4, abs=1e-4), k
