@@ -31,11 +31,44 @@ def logmmexp(A, B, allow_pallas=True):
     return jnp.log(C + tiny) + a_max + b_max
 
 
+def _use_smallk_lanes(ms) -> bool:
+    """Route small-K / large-batch chains to the batch-in-lanes Pallas
+    kernel (``pallas_smallk``).  XLA pads every (K, K) log-matmul operand to
+    a (32, 128) page below K=128, so the dense path wastes ~4/3 * 128/K of
+    the HBM traffic and runs ~1%-utilised MXU passes; the lanes kernel is
+    the covid hot path's fix (93% of the QEM step, measured).
+    """
+    import os
+    if os.environ.get("ALAN_TPU_NO_SMALLK_CHAIN"):
+        return False
+    K = ms.shape[-1]
+    nB = 1
+    for d in ms.shape[:-3]:
+        nB *= d
+    if os.environ.get("ALAN_TPU_SMALLK_CHAIN"):
+        return True
+    max_k = int(os.environ.get("ALAN_TPU_SMALLK_CHAIN_MAX_K", "100"))
+    if not (ms.dtype == jnp.float32 and 2 <= K <= max_k and ms.shape[-3] >= 2):
+        return False
+    if nB < 128:  # can't fill the lane axis; dense padding waste is small too
+        return False
+    from .pallas_smallk import have_pallas_tpu
+    return have_pallas_tpu()
+
+
 def chain_logmmexp(ms):
     """Reduce ``ms[..., T, K, K]`` over T with log-space matmuls in a
     balanced pairwise tree (reference ``chain_reduce``, ``utils.py:478-497``;
-    vectorised over leading batch axes)."""
+    vectorised over leading batch axes).
+
+    On TPU, small-K chains with a large leading batch run in the
+    batch-in-lanes Pallas kernel (identical tree order and numerics; see
+    ``ops.pallas_smallk``)."""
     assert ms.shape[-1] == ms.shape[-2]
+    if _use_smallk_lanes(ms):
+        from .pallas_smallk import chain_logmmexp_lanes, have_pallas_tpu
+        # interpret mode keeps the forced path testable off-TPU
+        return chain_logmmexp_lanes(ms, interpret=not have_pallas_tpu())
     T_axis = ms.ndim - 3
     while ms.shape[T_axis] != 1:
         n = ms.shape[T_axis]

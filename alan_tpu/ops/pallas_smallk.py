@@ -1,0 +1,222 @@
+"""Batch-in-lanes Pallas TPU kernel for small-K log-space matmuls.
+
+Covid-class timeseries models contract chains of ``[T, K, K]`` transition
+operators with small K (~30) but an enormous leading batch — full covid is
+``K_npis * nRs = 2760`` independent chains (reference hot path
+``utils.py:478-510`` invoked at ``logpq.py:131-146``).  XLA lays each
+``(K, K)`` matrix on its own (8, 128)-tiled page, so a 30x30 operand pads to
+32x128 (4.5x wasted HBM traffic) and each matmul is a ~1%-utilised MXU pass;
+measured on v5e, this chain contraction is **93%** of covid's whole QEM step
+(388 of 418 ms, ``scripts/bench_covid_chain_share.py``).
+
+This kernel transposes the problem instead of padding it: the batch rides
+the 128-wide **lane** axis (``[L, K, K, B]`` layout, B innermost), so every
+lane is useful and the only padding is K -> 32 sublanes (6.7%).  The
+j-contraction ``c[i,k,b] = logsumexp_j(a[i,j,b] + b[j,k,b])`` becomes K
+broadcast-multiply/reduce passes on the VPU — no MXU, no (32,128) page per
+matrix.  Forward and backward (custom VJP, same layout) both run here;
+``chain_logmmexp_lanes`` keeps the whole balanced tree in the transposed
+layout so the transpose is paid once per chain, not per level.
+
+Numerics match ``ops.logmmexp.logmmexp`` exactly: per-row/col max shifts
+(finite-guarded), ``log(c + tiny) + shifts``, and the same XLA-formula
+backward ``da = ea * (g/(c+tiny) @ eb^T)``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:  # pragma: no cover - exercised indirectly
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+_TINY = 1.1754943508222875e-38  # jnp.finfo(jnp.float32).tiny
+
+
+def _cparams(dimension_semantics):
+    if not _PALLAS_OK:
+        return None
+    try:
+        return pltpu.CompilerParams(dimension_semantics=dimension_semantics)
+    except Exception:  # pragma: no cover - older jax
+        return pltpu.TPUCompilerParams(dimension_semantics=dimension_semantics)
+
+
+def _shifts(a, b):
+    """Finite-guarded row/col max shifts in lanes layout.
+
+    a: (K, K, bl) with a[i, j, b]; b: (K, K, bl) with b[j, k, b].
+    Returns (a_max[i, b], b_max[k, b], ea[i, j, b], eb[j, k, b]).
+    """
+    a_max = jnp.max(a, axis=1)  # over j -> (K, bl)
+    b_max = jnp.max(b, axis=0)  # over j -> (K, bl)
+    a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
+    b_max = jnp.where(jnp.isfinite(b_max), b_max, 0.0)
+    ea = jnp.exp(a - a_max[:, None, :])
+    eb = jnp.exp(b - b_max[None, :, :])
+    return a_max, b_max, ea, eb
+
+
+def _fwd_kernel(a_ref, b_ref, o_ref):
+    a = a_ref[0]
+    b = b_ref[0]
+    K = a.shape[0]
+    a_max, b_max, ea, eb = _shifts(a, b)
+    # c[i, k, b] = sum_j ea[i, j, b] * eb[j, k, b]: one broadcast-mul +
+    # leading-axis reduce per output row i (K VPU passes, no MXU).
+    rows = []
+    for i in range(K):
+        rows.append(jnp.sum(ea[i][:, None, :] * eb, axis=0))  # (K, bl)
+    c = jnp.stack(rows, axis=0)
+    o_ref[0] = jnp.log(c + _TINY) + a_max[:, None, :] + b_max[None, :, :]
+
+
+def _bwd_kernel(a_ref, b_ref, g_ref, da_ref, db_ref):
+    a = a_ref[0]
+    b = b_ref[0]
+    g = g_ref[0]
+    K = a.shape[0]
+    a_max, b_max, ea, eb = _shifts(a, b)
+    rows = []
+    for i in range(K):
+        rows.append(jnp.sum(ea[i][:, None, :] * eb, axis=0))
+    c = jnp.stack(rows, axis=0)
+    gc = g / (c + _TINY)  # (K_i, K_k, bl)
+    # da[i, j, b] = ea[i, j, b] * sum_k gc[i, k, b] * eb[j, k, b]
+    da_cols = []
+    for j in range(K):
+        acc = jnp.sum(gc * eb[j][None, :, :], axis=1)  # (K_i, bl)
+        da_cols.append(ea[:, j, :] * acc)
+    da_ref[0] = jnp.stack(da_cols, axis=1)
+    # db[j, k, b] = eb[j, k, b] * sum_i ea[i, j, b] * gc[i, k, b]
+    db_rows = []
+    for j in range(K):
+        acc = jnp.sum(ea[:, j, :][:, None, :] * gc, axis=0)  # (K_k, bl)
+        db_rows.append(eb[j] * acc)
+    db_ref[0] = jnp.stack(db_rows, axis=0)
+
+
+def _block_lanes(B, cap=256):
+    """Lane-block size: the largest 128-multiple <= cap (padding B up), or
+    B itself when B < 128.  The backward kernel uses cap=128: its five
+    (K, K, bl) blocks plus ea/eb/c/gc intermediates overflow the ~16 MB
+    VMEM budget at bl=256 (measured: 19.7 MB)."""
+    if B < 128:
+        return B
+    return cap
+
+
+def _pad_lanes(x, bl):
+    B = x.shape[-1]
+    pad = (-B) % bl
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _logmmexp_lanes_fwd(A, B, interpret=False):
+    L, K, _, nB = A.shape
+    bl = _block_lanes(nB)
+    Ap = _pad_lanes(A, bl)
+    Bp = _pad_lanes(B, bl)
+    nb = Ap.shape[-1] // bl
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(L, nb),
+        in_specs=[
+            pl.BlockSpec((1, K, K, bl), lambda l, i: (l, 0, 0, i)),
+            pl.BlockSpec((1, K, K, bl), lambda l, i: (l, 0, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, K, K, bl), lambda l, i: (l, 0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct(Ap.shape, jnp.float32),
+        compiler_params=_cparams(("parallel", "parallel")),
+        interpret=interpret,
+    )(Ap, Bp)
+    return out[..., :nB]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _logmmexp_lanes_bwd(A, B, g, interpret=False):
+    L, K, _, nB = A.shape
+    bl = _block_lanes(nB, cap=128)
+    Ap = _pad_lanes(A, bl)
+    Bp = _pad_lanes(B, bl)
+    gp = _pad_lanes(g, bl)
+    nb = Ap.shape[-1] // bl
+    spec = pl.BlockSpec((1, K, K, bl), lambda l, i: (l, 0, 0, i))
+    da, db = pl.pallas_call(
+        _bwd_kernel,
+        grid=(L, nb),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct(Ap.shape, jnp.float32)] * 2,
+        compiler_params=_cparams(("parallel", "parallel")),
+        interpret=interpret,
+    )(Ap, Bp, gp)
+    return da[..., :nB], db[..., :nB]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def logmmexp_lanes(A, B, interpret=False):
+    """Log-space matmul in lanes layout.
+
+    A: (L, K, K, B) with A[l, i, j, b]; B: (L, K, K, B) with B[l, j, k, b]
+    -> (L, K, K, B) out[l, i, k, b] = logsumexp_j(A[l,i,j,b] + B[l,j,k,b]).
+    """
+    return _logmmexp_lanes_fwd(A, B, interpret=interpret)
+
+
+def _vjp_fwd(A, B, interpret):
+    return _logmmexp_lanes_fwd(A, B, interpret=interpret), (A, B)
+
+
+def _vjp_bwd(interpret, res, g):
+    A, B = res
+    return _logmmexp_lanes_bwd(A, B, g, interpret=interpret)
+
+
+logmmexp_lanes.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def chain_logmmexp_lanes(ms, interpret=False):
+    """Balanced-tree chain reduction of ``ms[..., T, K, K]`` over T, run
+    entirely in the batch-in-lanes layout (one transpose in, one out).
+
+    Semantically identical to ``ops.logmmexp.chain_logmmexp``: same pairwise
+    tree, same shift/tiny numerics (differences are FMA/vectorisation noise,
+    ~1e-7 relative).
+    """
+    *batch, T, K, K2 = ms.shape
+    assert K == K2
+    nB = 1
+    for d in batch:
+        nB *= d
+    x = ms.reshape((nB, T, K, K))
+    x = jnp.transpose(x, (1, 2, 3, 0))  # (T, K, K, B)
+    while x.shape[0] != 1:
+        n = x.shape[0]
+        even = jax.lax.slice_in_dim(x, 0, n - (n % 2), stride=2, axis=0)
+        odd = jax.lax.slice_in_dim(x, 1, n, stride=2, axis=0)
+        prod = logmmexp_lanes(even, odd, interpret)
+        if n % 2 == 1:
+            prod = jnp.concatenate(
+                [prod, jax.lax.slice_in_dim(x, n - 1, n, axis=0)], axis=0)
+        x = prod
+    out = jnp.transpose(x[0], (2, 0, 1))  # (B, K, K)
+    return out.reshape((*batch, K, K))
+
+
+def have_pallas_tpu() -> bool:
+    if not _PALLAS_OK:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -251,3 +251,71 @@ def test_lowrank_expfamily_matches_elementwise(family):
     assert got.dims == want.dims
     np.testing.assert_allclose(np.asarray(got.data), np.asarray(want.data),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    (35, 5, 30),     # covid-like K, small batch, odd T
+    (300, 4, 7),     # batch forces lane padding (300 -> 2x256)
+    (130, 8, 2),     # K=2, power-of-two T
+    (128, 3, 33),    # odd K > 32 sublanes
+])
+def test_pallas_smallk_chain_interpret(shape):
+    """Batch-in-lanes chain kernel matches the jnp tree (same reduction
+    order and shift/tiny numerics; only FMA/vectorisation noise differs)."""
+    from alan_tpu.ops.pallas_smallk import chain_logmmexp_lanes
+    B, T, K = shape
+    ms = jnp.asarray(rng.standard_normal((B, T, K, K)) * 2 - 1, jnp.float32)
+    want = chain_logmmexp(ms)
+    got = chain_logmmexp_lanes(ms, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_smallk_chain_multi_batch_dims_interpret():
+    from alan_tpu.ops.pallas_smallk import chain_logmmexp_lanes
+    ms = jnp.asarray(rng.standard_normal((5, 7, 9, 13, 13)), jnp.float32)
+    want = chain_logmmexp(ms)
+    got = chain_logmmexp_lanes(ms, interpret=True)
+    assert got.shape == want.shape == (5, 7, 13, 13)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_smallk_chain_grad_interpret():
+    from alan_tpu.ops.pallas_smallk import chain_logmmexp_lanes
+    ms = jnp.asarray(rng.standard_normal((40, 6, 11, 11)) * 2, jnp.float32)
+    W = jnp.asarray(rng.standard_normal((40, 11, 11)), jnp.float32)
+    g_new = jax.grad(lambda m: jnp.sum(
+        chain_logmmexp_lanes(m, True) * W))(ms)
+    g_ref = jax.grad(lambda m: jnp.sum(chain_logmmexp(m) * W))(ms)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=3e-3, atol=1e-5)
+
+
+def test_pallas_smallk_chain_inf_interpret():
+    """-inf transition entries (masked states) match the jnp path exactly."""
+    from alan_tpu.ops.pallas_smallk import chain_logmmexp_lanes
+    ms = jnp.asarray(rng.standard_normal((20, 5, 8, 8)), jnp.float32)
+    ms = ms.at[:, 2, :, 3].set(-jnp.inf).at[:, 3, 1, :].set(-jnp.inf)
+    want = np.asarray(chain_logmmexp(ms))
+    got = np.asarray(chain_logmmexp_lanes(ms, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_smallk_chain_routing():
+    from alan_tpu.ops.logmmexp import _use_smallk_lanes
+    big = jnp.zeros((200, 4, 30, 30), jnp.float32)
+    # off-TPU: only the force flag routes
+    with _Env(ALAN_TPU_SMALLK_CHAIN=1):
+        assert _use_smallk_lanes(big)
+    with _Env(ALAN_TPU_SMALLK_CHAIN=1, ALAN_TPU_NO_SMALLK_CHAIN=1):
+        assert not _use_smallk_lanes(big)
+    if jax.devices()[0].platform != "tpu":
+        assert not _use_smallk_lanes(big)
+        # forced end-to-end routing falls back to interpret mode off-TPU
+        small = jnp.asarray(rng.standard_normal((130, 3, 5, 5)), jnp.float32)
+        with _Env(ALAN_TPU_SMALLK_CHAIN=1):
+            routed = chain_logmmexp(small)
+        np.testing.assert_allclose(np.asarray(routed),
+                                   np.asarray(chain_logmmexp(small)),
+                                   rtol=1e-5, atol=1e-5)
