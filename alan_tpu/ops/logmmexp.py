@@ -52,7 +52,11 @@ def _use_smallk_lanes(ms) -> bool:
         return False
     if nB < 128:  # can't fill the lane axis; dense padding waste is small too
         return False
-    from .pallas_smallk import have_pallas_tpu
+    from .pallas_smallk import fits_vmem, have_pallas_tpu
+    # kernel VMEM footprint scales ~K^2 * lane-block; only route K whose
+    # fwd AND bwd blocks fit the budget (binds near K~35; ADVICE r2)
+    if not fits_vmem(K, nB):
+        return False
     return have_pallas_tpu()
 
 

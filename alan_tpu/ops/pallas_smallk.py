@@ -102,14 +102,36 @@ def _bwd_kernel(a_ref, b_ref, g_ref, da_ref, db_ref):
     db_ref[0] = jnp.stack(db_rows, axis=0)
 
 
-def _block_lanes(B, cap=256):
-    """Lane-block size: the largest 128-multiple <= cap (padding B up), or
-    B itself when B < 128.  The backward kernel uses cap=128: its five
-    (K, K, bl) blocks plus ea/eb/c/gc intermediates overflow the ~16 MB
-    VMEM budget at bl=256 (measured: 19.7 MB)."""
+# VMEM footprint model: each kernel holds ~coeff live (K, K, bl) f32 arrays
+# (operand/output blocks + ea/eb/c/gc intermediates + stack temps).  The bwd
+# coefficient is calibrated against the one hardware measurement we have —
+# 19.7 MB at K=30, bl=256 (~22 arrays); the fwd keeps fewer live (~14, and
+# K=30 bl=256 compiles and runs on v5e under that estimate: 12.9 MB).
+_VMEM_BUDGET = 14e6   # leave headroom under the ~16 MB/core budget
+_C_FWD, _C_BWD = 14, 22
+
+
+def _block_lanes(B, K, cap=256, coeff=_C_FWD):
+    """Lane-block size: the largest 128-multiple <= cap whose estimated VMEM
+    footprint (coeff * K^2 * bl * 4 bytes, see above) fits the budget, or
+    B itself when B < 128.  Returns 0 when no block fits — the caller must
+    not route to this kernel (footprint scales with K^2, so large K
+    overflows VMEM even at bl=128)."""
+    bl = B if B < 128 else cap
+    while bl >= 128 and coeff * K * K * bl * 4 > _VMEM_BUDGET:
+        bl -= 128
     if B < 128:
-        return B
-    return cap
+        return bl if coeff * K * K * bl * 4 <= _VMEM_BUDGET else 0
+    return bl if bl >= 128 else 0
+
+
+def fits_vmem(K, B) -> bool:
+    """True iff both the forward and backward lane kernels have a viable
+    block size for this (K, batch) under the VMEM footprint model.  Used by
+    the auto-route in ``ops.logmmexp._use_smallk_lanes`` (the bwd binds:
+    K above ~35 has no fitting 128-multiple block)."""
+    return (_block_lanes(B, K, cap=256, coeff=_C_FWD) > 0
+            and _block_lanes(B, K, cap=128, coeff=_C_BWD) > 0)
 
 
 def _pad_lanes(x, bl):
@@ -123,7 +145,12 @@ def _pad_lanes(x, bl):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _logmmexp_lanes_fwd(A, B, interpret=False):
     L, K, _, nB = A.shape
-    bl = _block_lanes(nB)
+    bl = _block_lanes(nB, K)
+    if bl <= 0:
+        raise ValueError(
+            f"smallk lanes fwd kernel: K={K} has no lane block fitting the "
+            f"VMEM budget (footprint ~{_C_FWD * K * K * 128 * 4 / 1e6:.1f} MB "
+            "at bl=128); use the dense chain_logmmexp path")
     Ap = _pad_lanes(A, bl)
     Bp = _pad_lanes(B, bl)
     nb = Ap.shape[-1] // bl
@@ -145,7 +172,12 @@ def _logmmexp_lanes_fwd(A, B, interpret=False):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _logmmexp_lanes_bwd(A, B, g, interpret=False):
     L, K, _, nB = A.shape
-    bl = _block_lanes(nB, cap=128)
+    bl = _block_lanes(nB, K, cap=128, coeff=_C_BWD)
+    if bl <= 0:
+        raise ValueError(
+            f"smallk lanes bwd kernel: K={K} has no lane block fitting the "
+            f"VMEM budget (footprint ~{_C_BWD * K * K * 128 * 4 / 1e6:.1f} MB "
+            "at bl=128); use the dense chain_logmmexp path")
     Ap = _pad_lanes(A, bl)
     Bp = _pad_lanes(B, bl)
     gp = _pad_lanes(g, bl)
@@ -195,6 +227,11 @@ def chain_logmmexp_lanes(ms, interpret=False):
     """
     *batch, T, K, K2 = ms.shape
     assert K == K2
+    if ms.dtype != jnp.float32:
+        # out_shape and _TINY are float32-specific; a forced float64 chain
+        # would otherwise be silently downcast (ADVICE r2)
+        raise TypeError(
+            f"chain_logmmexp_lanes requires float32 input, got {ms.dtype}")
     nB = 1
     for d in batch:
         nB *= d
