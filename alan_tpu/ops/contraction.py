@@ -65,6 +65,13 @@ def pairwise_logsumexp_contract(a, b, Ks) -> DT:
     A = a_o.data.reshape((b_size, i_size, -1))
     B = b_o.data.reshape((b_size, j_size, -1))
 
+    from ..perf import count_flops
+    k_size = A.shape[-1]
+    count_flops(
+        matmul=2.0 * b_size * i_size * j_size * k_size,
+        elementwise=(2.0 * b_size * (i_size + j_size) * k_size
+                     + 2.0 * b_size * i_size * j_size))
+
     from .pallas_contract import fusable, pairwise_logmmexp_fused
     if fusable(b_size, i_size, j_size, A.shape[-1]):
         # Pallas-fused max/exp/MXU-dot/log pipeline: one HBM pass over the

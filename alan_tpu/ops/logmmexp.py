@@ -18,6 +18,13 @@ def logmmexp(A, B, allow_pallas=True):
     Max-shifted for stability, with the reference's eps inside the log
     (``utils.py:499-507``).
     """
+    from ..perf import count_flops, counting_active
+    if counting_active():
+        import math
+        nb = math.prod(jnp.broadcast_shapes(A.shape[:-2], B.shape[:-2]))
+        i, k, j = A.shape[-2], A.shape[-1], B.shape[-1]
+        count_flops(matmul=2.0 * nb * i * k * j,
+                    elementwise=2.0 * nb * (i * k + k * j) + 2.0 * nb * i * j)
     if allow_pallas and A.shape[-1] >= 128 and A.dtype == jnp.float32:
         from .pallas_logmmexp import have_pallas_tpu, logmmexp_fused
         if have_pallas_tpu():

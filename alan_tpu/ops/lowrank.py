@@ -212,6 +212,9 @@ def lowrank_logprob(family_name, x, params) -> DT:
     V = jnp.concatenate(
         [_as_smf(v, shared, p_only, sizes, pos) for v in v_coefs], axis=-1)
 
+    from ..perf import count_flops
+    count_flops(matmul=2.0 * U.shape[0] * U.shape[1] * V.shape[1]
+                * U.shape[-1])
     out = jax.lax.dot_general(
         U, V, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -373,6 +376,8 @@ class LowRankDT:
         P = math.prod(sizes[d] for d in self.p_dims) if self.p_dims else 1
         u = self.U.with_dims_front(list(self.shared + self.x_dims))
         v = self.V.with_dims_front(list(self.shared + self.p_dims))
+        from ..perf import count_flops
+        count_flops(matmul=2.0 * S * X * P * self.U.pos_shape[-1])
         out = jax.lax.dot_general(
             u.data.reshape(S, X, -1), v.data.reshape(S, P, -1),
             (((2,), (2,)), ((0,), (0,))),
@@ -453,6 +458,9 @@ class LowRankDT:
         else:
             D3 = jnp.zeros((S, P, I), jnp.float32)
 
+        from ..perf import count_flops
+        count_flops(matmul=2.0 * S * P * I * J * F,
+                    elementwise=4.0 * S * P * I * J)
         out = lowrank_logsumexp(U4, V3, D3, run_interpret())
         out_dims = tuple(self.shared) + tuple(kept_x) + self.p_dims
         res = DT(out.reshape(tuple(sizes[d] for d in out_dims)), out_dims)

@@ -195,6 +195,16 @@ def _logmmexp_lanes_bwd(A, B, g, interpret=False):
     return da[..., :nB], db[..., :nB]
 
 
+def _count_lanes_flops(A):
+    """Model FLOPs of one lanes log-matmul level (hooked for the analytic
+    MFU model, ``perf.analytic_flops``): the kernel's j-contraction is
+    2*K^3 mul+adds per (level, lane), plus the shift/exp/log elementwise."""
+    from ..perf import count_flops
+    L, K, _, nB = A.shape
+    count_flops(matmul=2.0 * L * K * K * K * nB,
+                elementwise=6.0 * L * K * K * nB)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def logmmexp_lanes(A, B, interpret=False):
     """Log-space matmul in lanes layout.
@@ -202,10 +212,12 @@ def logmmexp_lanes(A, B, interpret=False):
     A: (L, K, K, B) with A[l, i, j, b]; B: (L, K, K, B) with B[l, j, k, b]
     -> (L, K, K, B) out[l, i, k, b] = logsumexp_j(A[l,i,j,b] + B[l,j,k,b]).
     """
+    _count_lanes_flops(A)
     return _logmmexp_lanes_fwd(A, B, interpret=interpret)
 
 
 def _vjp_fwd(A, B, interpret):
+    _count_lanes_flops(A)
     return _logmmexp_lanes_fwd(A, B, interpret=interpret), (A, B)
 
 

@@ -74,16 +74,48 @@ def logsumexp_sum(Ks_to_sum, *lps) -> DT:
                 return out
         lps = tuple(lp.materialize() if getattr(lp, "__lazy_dt__", False)
                     else lp for lp in lps)
-    if _USE_MATMUL_CONTRACT and len(lps) == 2:
-        a, b = as_dt(lps[0]), as_dt(lps[1])
+    if _USE_MATMUL_CONTRACT and len(lps) >= 2:
+        dts = [as_dt(lp) for lp in lps]
+        if len(dts) > 2:
+            # stage an n-factor step for the pairwise MXU path: the two
+            # largest factors anchor the matmul sides; every other factor is
+            # absorbed (broadcast-added) into the anchor whose dim-union
+            # grows least.  Exact: DT addition aligns by name, so
+            # logsumexp(a' + b') == logsumexp(sum of all factors).  (Both
+            # planners emit pairwise steps, so this only fires for direct
+            # multi-factor calls; reference ``reduce_Ks.py:249-251`` takes
+            # arbitrary factor lists.)
+            order = sorted(range(len(dts)), key=lambda i: dts[i].data.size)
+            ia, ib = order[-1], order[-2]
+            a, b = dts[ia], dts[ib]
+            for i in order[:-2]:
+                c = dts[i]
+
+                def _union_size(x, y):
+                    sizes = {**x.dimsizes(), **y.dimsizes()}
+                    return math.prod(sizes.values()) * math.prod(
+                        jnp.broadcast_shapes(x.pos_shape, y.pos_shape))
+
+                if _union_size(a, c) <= _union_size(b, c):
+                    a = a + c
+                else:
+                    b = b + c
+            dts = [a, b]
+        a, b = dts
         shared = [k for k in Ks_to_sum if k in a.dims and k in b.dims]
         k_size = math.prod(a.dim_size(k) for k in shared) if shared else 0
         if k_size >= _matmul_min_k():
             from .ops.contraction import pairwise_logsumexp_contract
             return pairwise_logsumexp_contract(a, b, tuple(Ks_to_sum))
+        lps = dts
     total = lps[0]
     for lp in lps[1:]:
         total = total + lp
+    from .perf import count_flops, counting_active
+    if counting_active():
+        # broadcast-add fallback: (n-1) adds over the joint space, then a
+        # ~4-op/element logsumexp (max/sub/exp/add) over the reduced dims
+        count_flops(elementwise=(len(lps) + 3.0) * as_dt(total).data.size)
     return logsumexp_dims(total, tuple(Ks_to_sum), ignore_extra_dims=True)
 
 

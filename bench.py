@@ -155,6 +155,14 @@ def bench_eager_cpu_baseline():
         return RECORDED_EAGER_BASELINE
 
 
+def bench_time_to_moment_error():
+    """Second half of the BASELINE.md headline: wall-clock to reach
+    30/10/3% of the initial posterior-moment error (MovieLens K=30 QEM vs a
+    high-K lr=1 gold estimate; ``bench_scaling.time_to_moment_error``)."""
+    from bench_scaling import time_to_moment_error
+    return time_to_moment_error()
+
+
 def main():
     value, step_time, elbo, rep = bench_alan_tpu()
     if os.environ.get("BENCH_SKIP_EAGER"):
@@ -165,11 +173,23 @@ def main():
         "metric": "movielens_qem_K30_importance_weighted_samples_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "samples/s",
+        "headline_step_s": round(step_time, 6),
+        # vs_baseline compares against an eager-object-API emulation of the
+        # reference's execution model on this host's CPU (the reference
+        # itself cannot run here: torch 2.13 removed named tensors).  The
+        # multiplier is mostly fused-jit-on-TPU vs eager-on-CPU — NOT a
+        # like-for-like hardware comparison; the per-step time, MFU, and
+        # time-to-moment-error above/below are the honest headline.
         "vs_baseline": round(value / baseline, 3),
-        # utilisation grounding (VERDICT r1 #1): XLA cost-model FLOPs of the
-        # exact compiled program / wall-clock / chip dense-bf16 peak
+        "vs_baseline_note": "vs eager emulation on host CPU",
+        # utilisation grounding: XLA cost-model FLOPs (a lower bound: Pallas
+        # custom calls count as zero, scan bodies once) AND the analytic
+        # op-level FLOP model (perf.analytic_flops; exact for the
+        # contraction/chain/cross-K hot ops incl. Pallas kernels)
         "headline_mfu": rep.get("mfu"),
+        "headline_mfu_analytic": rep.get("mfu_analytic"),
         "headline_flops_per_step": rep.get("flops_per_step"),
+        "headline_flops_per_step_analytic": rep.get("flops_per_step_analytic"),
         "device_kind": rep.get("device_kind"),
     }
     if not os.environ.get("BENCH_QUICK"):
@@ -180,9 +200,25 @@ def main():
             record[f"{name}_step_s"] = round(r["step_s"], 6)
             record[f"{name}_mfu"] = (round(r["mfu"], 4)
                                      if r.get("mfu") is not None else None)
+            if r.get("mfu_analytic") is not None:
+                record[f"{name}_mfu_analytic"] = round(r["mfu_analytic"], 4)
             if r.get("achieved_flops_per_s"):
                 record[f"{name}_tflops"] = round(
                     r["achieved_flops_per_s"] / 1e12, 3)
+            if r.get("flops_per_step_analytic"):
+                record[f"{name}_tflops_analytic"] = round(
+                    r["flops_per_step_analytic"] / r["step_s"] / 1e12, 3)
+        if not os.environ.get("BENCH_SKIP_TTE"):
+            try:
+                tte = bench_time_to_moment_error()
+                for frac in (30, 10, 3):
+                    record[f"time_to_{frac}pct_s"] = tte.get(
+                        f"time_to_{frac}pct_s")
+                    record[f"iters_to_{frac}pct"] = tte.get(
+                        f"iters_to_{frac}pct")
+                record["tte_err_final"] = tte.get("err_final")
+            except Exception as e:
+                record["time_to_moment_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(record))
 
 

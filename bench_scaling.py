@@ -341,18 +341,22 @@ def _latent_sites(problem):
     return sites
 
 
-def time_to_moment_error(K=30, iters=300, lr=0.1, gold_K=100, gold_seeds=8):
+def time_to_moment_error(K=30, iters=300, lr=0.1, gold_K=100, gold_seeds=8,
+                         gold_iters=250):
     """Time-to-moment-error, the second half of the BASELINE.md headline
     metric (MovieLens, K=30).
 
     QEM's state *is* a posterior-moment estimate (the EMA'd sufficient
     stats), so the error trajectory falls out of the training scan directly.
-    Gold = posterior moments from fresh lr=1 QEM steps at ``gold_K``
-    (a single EMA step with lr=1 writes the raw moment estimate), averaged
-    over ``gold_seeds`` independent seeds.  Error(t) = MSE over all
+    Gold = posterior moments from *converged* QEM at ``gold_K``: train
+    ``gold_iters`` steps (so the proposal Q is the trained one — a raw
+    high-K estimate under the INITIAL Q is biased by the bad proposal and
+    the trained trajectory moves away from it), then one lr=1.0 step whose
+    EMA write-through is the raw moment estimate under that converged Q;
+    averaged over ``gold_seeds`` independent seeds.  Error(t) = MSE over all
     sufficient-stat coordinates, normalised by the gold second moment;
     reported are the wall-clock times to reach 30%/10%/3% of the
-    *initial* error.
+    *initial* error (the error after one step from init).
     """
     import jax.numpy as jnp
     import movielens
@@ -366,14 +370,17 @@ def time_to_moment_error(K=30, iters=300, lr=0.1, gold_K=100, gold_seeds=8):
         return jnp.concatenate([jnp.ravel(v.data)
                                 for _, v in sorted(stateQ["qem_means"].items())])
 
-    # gold: one lr=1.0 step at high K per seed == the raw (un-EMA'd)
-    # moment estimate; average over seeds
-    gold_step, gold_state0 = train.qem(problem, gold_K, lr=1.0)
+    gold_step, gold_state0 = train.qem(problem, gold_K, lr=lr)
+    gold_read, _ = train.qem(problem, gold_K, lr=1.0)
 
     @jax.jit
     def gold_fn(key):
         def one(k):
-            (_, sQ), _ = gold_step(gold_state0, k)
+            def body(s, i):
+                s2, _ = gold_step(s, jax.random.fold_in(k, i))
+                return s2, None
+            s, _ = jax.lax.scan(body, gold_state0, jnp.arange(gold_iters))
+            (_, sQ), _ = gold_read(s, jax.random.fold_in(k, gold_iters))
             return flat_means(sQ)
         return jnp.mean(jax.vmap(one)(jax.random.split(key, gold_seeds)), 0)
 
@@ -401,7 +408,13 @@ def time_to_moment_error(K=30, iters=300, lr=0.1, gold_K=100, gold_seeds=8):
     err0 = float(errs[0])
     out = {"step_s": step_s, "err_iter1": err0,
            "err_final": float(errs[-1]), "iters": iters,
-           "gold_K": gold_K, "gold_seeds": gold_seeds}
+           "gold_K": gold_K, "gold_seeds": gold_seeds,
+           # the fixed-lr EMA noise floor: minimum relative error along the
+           # trajectory and when it is reached (3% of initial error sits
+           # below this floor at K=30/lr=0.1 — time_to_3pct is then null,
+           # honestly, rather than a number read off noise)
+           "err_min_frac": float(np.min(errs) / err0),
+           "iters_to_min": int(np.argmin(errs)) + 1}
     for frac in (0.3, 0.1, 0.03):
         hit = np.nonzero(errs <= frac * err0)[0]
         it = int(hit[0]) + 1 if hit.size else None

@@ -319,3 +319,79 @@ def test_smallk_chain_routing():
         np.testing.assert_allclose(np.asarray(routed),
                                    np.asarray(chain_logmmexp(small)),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_smallk_lane_block_vmem_scaling():
+    """Auto-route only admits K whose fwd AND bwd lane blocks fit the VMEM
+    footprint model (ADVICE r2: the old flat K<=100 cap admitted blocks the
+    bwd kernel could not compile)."""
+    from alan_tpu.ops.pallas_smallk import _block_lanes, _C_BWD, fits_vmem
+    # the calibrated configuration (covid: K=30) keeps its measured blocks
+    assert _block_lanes(2760, 30) == 256
+    assert _block_lanes(2760, 30, cap=128, coeff=_C_BWD) == 128
+    assert fits_vmem(30, 2760)
+    # footprint ~K^2*bl: large K has no fitting 128-multiple block
+    assert not fits_vmem(50, 2760)
+    assert not fits_vmem(100, 2760)
+    # the forced path raises loudly instead of failing in the compiler
+    from alan_tpu.ops.pallas_smallk import chain_logmmexp_lanes
+    big = jnp.zeros((200, 3, 100, 100), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        chain_logmmexp_lanes(big, interpret=True)
+    # non-float32 chains raise instead of silently downcasting
+    with pytest.raises(TypeError, match="float32"):
+        chain_logmmexp_lanes(jnp.zeros((130, 3, 5, 5), jnp.bfloat16),
+                             interpret=True)
+
+
+def test_logsumexp_sum_multi_factor_matches_fallback():
+    """n>=3-factor contraction steps stage onto the pairwise MXU path by
+    absorbing small factors into the two largest (VERDICT r2 #5: no
+    hard-coded len(lps)==2); result must equal the broadcast-add fallback."""
+    import alan_tpu.reduce_ks as rk
+    from alan_tpu.dims import as_dt
+
+    def factors():
+        return [
+            DT(jnp.asarray(rng.standard_normal((3, 4)) * 5, jnp.float32),
+               ("K_x", "p")),
+            DT(jnp.asarray(rng.standard_normal((3, 5, 4)) * 5, jnp.float32),
+               ("K_x", "K_y", "p")),
+            DT(jnp.asarray(rng.standard_normal((5,)) * 5, jnp.float32),
+               ("K_y",)),
+            DT(jnp.asarray(rng.standard_normal((4,)) * 5, jnp.float32),
+               ("p",)),
+        ]
+
+    for Ks in [("K_x",), ("K_x", "K_y"), ("K_y",)]:
+        lps = factors()
+        old = rk._MATMUL_MIN_K
+        try:
+            rk._MATMUL_MIN_K = 1               # force the MXU route on CPU
+            mm = rk.logsumexp_sum(Ks, *lps)
+            rk._MATMUL_MIN_K = 1 << 30         # force the fallback
+            ref = rk.logsumexp_sum(Ks, *lps)
+        finally:
+            rk._MATMUL_MIN_K = old
+        mm = as_dt(mm).with_dims_front(as_dt(ref).dims)
+        assert mm.dims == as_dt(ref).dims
+        np.testing.assert_allclose(np.asarray(mm.data),
+                                   np.asarray(as_dt(ref).data),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_analytic_flops_counts_chain():
+    """The analytic FLOP model (perf.analytic_flops) counts the chain's
+    log-matmul tree exactly: a T-chain is T-1 products of 2*B*K^3 matmul
+    FLOPs each, x1 for forward-only, x3 with a grad."""
+    from alan_tpu import perf
+    B, T, K = 4, 8, 6
+    ms = jnp.asarray(rng.standard_normal((B, T, K, K)), jnp.float32)
+    fwd = perf.analytic_flops(lambda m: chain_logmmexp(m), (ms,), grad=False)
+    want = 2.0 * B * K ** 3 * (T - 1)
+    assert fwd["matmul_flops"] == want
+    g = perf.analytic_flops(
+        lambda m: jnp.sum(chain_logmmexp(m)), (ms,), grad=True)
+    assert g["matmul_flops"] == 3 * want
+    # no counting outside an active trace
+    assert not perf.counting_active()
