@@ -72,28 +72,21 @@ def pairwise_logsumexp_contract(a, b, Ks) -> DT:
         elementwise=(2.0 * b_size * (i_size + j_size) * k_size
                      + 2.0 * b_size * i_size * j_size))
 
-    from .pallas_contract import fusable, pairwise_logmmexp_fused
-    if fusable(b_size, i_size, j_size, A.shape[-1]):
-        # Pallas-fused max/exp/MXU-dot/log pipeline: one HBM pass over the
-        # large factor instead of XLA's ~4 (see ops/pallas_contract.py).
-        # The larger factor goes in the read-once slot.
-        if i_size >= j_size:
-            out = pairwise_logmmexp_fused(A.astype(jnp.float32),
-                                          B.astype(jnp.float32))
-        else:
-            out = jnp.swapaxes(
-                pairwise_logmmexp_fused(B.astype(jnp.float32),
-                                        A.astype(jnp.float32)), -1, -2)
-    else:
-        a_max = jax.lax.stop_gradient(jnp.max(A, axis=-1, keepdims=True))
-        b_max = jax.lax.stop_gradient(jnp.max(B, axis=-1, keepdims=True))
-        a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
-        b_max = jnp.where(jnp.isfinite(b_max), b_max, 0.0)
+    # XLA fuses the log-prob producer and the max/exp passes into the dot's
+    # operand reads; a hand-fused Pallas kernel here measured SLOWER end-to-
+    # end (20.1 -> 29.4 ms, grouped K=1000) because the kernel boundary
+    # materialises the K^2*plate factor XLA never writes.  The fused-producer
+    # form that does win is the lazy low-rank path (ops/pallas_lowrank.py),
+    # which consumes the factored operands directly.
+    a_max = jax.lax.stop_gradient(jnp.max(A, axis=-1, keepdims=True))
+    b_max = jax.lax.stop_gradient(jnp.max(B, axis=-1, keepdims=True))
+    a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
+    b_max = jnp.where(jnp.isfinite(b_max), b_max, 0.0)
 
-        C = jnp.einsum("bik,bjk->bij", jnp.exp(A - a_max), jnp.exp(B - b_max),
-                       preferred_element_type=jnp.float32)
-        tiny = jnp.finfo(C.dtype).tiny
-        out = jnp.log(C + tiny) + a_max + jnp.swapaxes(b_max, -1, -2)
+    C = jnp.einsum("bik,bjk->bij", jnp.exp(A - a_max), jnp.exp(B - b_max),
+                   preferred_element_type=jnp.float32)
+    tiny = jnp.finfo(C.dtype).tiny
+    out = jnp.log(C + tiny) + a_max + jnp.swapaxes(b_max, -1, -2)
 
     i_shape = a_o.data.shape[nb:nb + ni]
     j_shape = b_o.data.shape[nb:nb + nj]

@@ -54,86 +54,6 @@ def test_pallas_logmmexp_interpret():
     assert np.allclose(np.asarray(r1), np.asarray(r2), rtol=1e-5, atol=1e-5)
 
 
-def _naive_pairwise(A, B):
-    # out[b,i,j] = logsumexp_k(A[b,i,k] + B[b,j,k]) with tiny-floor numerics
-    a_max = jnp.where(jnp.isfinite(jnp.max(A, -1, keepdims=True)),
-                      jnp.max(A, -1, keepdims=True), 0.0)
-    b_max = jnp.where(jnp.isfinite(jnp.max(B, -1, keepdims=True)),
-                      jnp.max(B, -1, keepdims=True), 0.0)
-    C = jnp.einsum("bik,bjk->bij", jnp.exp(A - a_max), jnp.exp(B - b_max))
-    return jnp.log(C + jnp.finfo(jnp.float32).tiny) + a_max \
-        + jnp.swapaxes(b_max, -1, -2)
-
-
-@pytest.mark.parametrize("shape", [
-    (2, 16, 16, 32),      # aligned
-    (3, 100, 7, 50),      # overhang in i and j, odd K
-    (1, 8, 1, 300),       # matvec case (j=1)
-    (2, 1000, 9, 130),    # i much larger, forces i-tiling
-])
-def test_pallas_pairwise_contract_interpret(shape):
-    from alan_tpu.ops.pallas_contract import pairwise_logmmexp_fused
-    nb, I, J, K = shape
-    A = jnp.asarray(rng.standard_normal((nb, I, K)) * 10, jnp.float32)
-    B = jnp.asarray(rng.standard_normal((nb, J, K)) * 10, jnp.float32)
-    got = pairwise_logmmexp_fused(A, B, True)
-    want = _naive_pairwise(A, B)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-6, atol=2e-6)
-
-
-def test_pallas_pairwise_contract_grad_interpret():
-    from alan_tpu.ops.pallas_contract import pairwise_logmmexp_fused
-    A = jnp.asarray(rng.standard_normal((2, 24, 17)) * 5, jnp.float32)
-    B = jnp.asarray(rng.standard_normal((2, 5, 17)) * 5, jnp.float32)
-    W = jnp.asarray(rng.standard_normal((2, 24, 5)), jnp.float32)
-
-    gA, gB = jax.grad(lambda a, b: jnp.sum(
-        pairwise_logmmexp_fused(a, b, True) * W), argnums=(0, 1))(A, B)
-    wA, wB = jax.grad(lambda a, b: jnp.sum(
-        _naive_pairwise(a, b) * W), argnums=(0, 1))(A, B)
-    # f32 noise between the two evaluation orders reaches ~1e-3 relative on
-    # near-zero entries; a formula error would be O(1).
-    np.testing.assert_allclose(np.asarray(gA), np.asarray(wA), rtol=3e-3,
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gB), np.asarray(wB), rtol=3e-3,
-                               atol=1e-5)
-
-
-def test_pallas_pairwise_contract_inf_rows_interpret():
-    """All -inf rows (empty mixture components) must not poison the output."""
-    from alan_tpu.ops.pallas_contract import pairwise_logmmexp_fused
-    A = jnp.asarray(rng.standard_normal((1, 16, 12)), jnp.float32)
-    A = A.at[0, 3].set(-jnp.inf)
-    B = jnp.asarray(rng.standard_normal((1, 4, 12)), jnp.float32)
-    got = pairwise_logmmexp_fused(A, B, True)
-    want = _naive_pairwise(A, B)
-    assert np.isneginf(np.asarray(got)[0, 3]).all() or \
-        (np.asarray(got)[0, 3] < -80).all()
-    np.testing.assert_allclose(np.asarray(got)[0, :3], np.asarray(want)[0, :3],
-                               rtol=2e-6, atol=2e-6)
-
-
-def test_pallas_bwd_overhang_matches_xla_formula():
-    """i-tile overhang masking in the fused backward (bi=104 covers I=100)."""
-    from alan_tpu.ops import pallas_contract as pc
-    A = jnp.asarray(rng.standard_normal((2, 100, 33)) * 4, jnp.float32)
-    B = jnp.asarray(rng.standard_normal((2, 5, 33)) * 4, jnp.float32)
-    G = jnp.asarray(rng.standard_normal((2, 100, 5)), jnp.float32)
-    out = pc._pallas_fwd(A, B, interpret=True)
-    dA, dB = pc._pallas_bwd(A, B, out, G, interpret=True)
-
-    a_max, b_max = pc._shifts(A), pc._shifts(B)
-    Gp = G * jnp.exp(a_max + jnp.swapaxes(b_max, -1, -2) - out)
-    Ea, Eb = jnp.exp(A - a_max), jnp.exp(B - b_max)
-    wA = Ea * jnp.einsum("bij,bjk->bik", Gp, Eb)
-    wB = Eb * jnp.einsum("bij,bik->bjk", Gp, Ea)
-    np.testing.assert_allclose(np.asarray(dA), np.asarray(wA), rtol=3e-3,
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(dB), np.asarray(wB), rtol=3e-3,
-                               atol=1e-5)
-
-
 class _Env:
     def __init__(self, **kv): self.kv = kv
     def __enter__(self):
