@@ -197,40 +197,96 @@ def _logPQ_plate(*, name, P, Q, sample, inputs_params, data,
 
     assert len(K_currs) == len(K_inits)
 
+    if name is not None and len(K_inits) > 0:
+        assert prev_lpq is None
+        return _reduce_timeseries_plate(lps, all_Ks, K_currs, K_inits, name,
+                                        all_platedims)
+
     # Sum out non-timeseries Ks.
     lp = reduce_Ks(lps, all_Ks)
 
     if name is not None:
-        if len(K_inits) > 0:
-            # Timeseries: contract ALL the plate's timeseries K-groups
-            # *jointly* — flatten the Kinit dims into one joint axis and the
-            # Kcurr dims into another (reference logpq.py:131-146 does
-            # ``lp.order(new_platedim, K_inits, K_currs)``, which groups the
-            # lists), chain the [T, ΠKi, ΠK] operator with log-matmuls, then
-            # unflatten back to the separate Kinit dims.
-            import jax.numpy as jnp
-            o = lp.order(name, *K_inits, *K_currs)  # (*hi, T, Ki..., K...)
-            n = len(K_inits)
-            nrem = len(o.dims)
-            shp = o.data.shape
-            T_size = shp[nrem]
-            ki_sizes = shp[nrem + 1: nrem + 1 + n]
-            k_sizes = shp[nrem + 1 + n:]
-            joint = o.data.reshape(
-                shp[:nrem] + (T_size, math.prod(ki_sizes), math.prod(k_sizes)))
-            chained = _chain(joint, name)           # (*hi, ΠKi, ΠK)
-            maxv = jax.lax.stop_gradient(jnp.max(chained, axis=-1))
-            summed = jnp.log(jnp.sum(
-                jnp.exp(chained - maxv[..., None]), axis=-1))
-            out = (summed + maxv).reshape(shp[:nrem] + tuple(ki_sizes))
-            lp = bind(DT(out, o.dims), *K_inits)
-            assert prev_lpq is None
-        else:
-            lp = sum_dims(lp, (name,), ignore_extra_dims=True)
-            if prev_lpq is not None:
-                assert set(dims_of(lp)) == set(dims_of(prev_lpq))
-                lp = lp + prev_lpq
+        lp = sum_dims(lp, (name,), ignore_extra_dims=True)
+        if prev_lpq is not None:
+            assert set(dims_of(lp)) == set(dims_of(prev_lpq))
+            lp = lp + prev_lpq
     return lp
+
+
+def _reduce_timeseries_plate(lps, all_Ks, K_currs, K_inits, name,
+                             all_platedims):
+    """Contract a timeseries plate's factors.
+
+    The factors are partitioned into connected components linked by shared
+    eliminated K-dims (``reduce_ks.factor_components``): independent
+    timeseries chains contract separately at n·O(T·K²) instead of the joint
+    O(T·K^{2n}), exactly — eliminations over disjoint dim sets commute and
+    the per-component results add in log-space.  Components genuinely
+    coupled (e.g. an observation reading two chains) still contract the
+    joint [T, ΠKi, ΠK] operator, as the reference always does
+    (``logpq.py:131-146``).  ``ALAN_TPU_TS_JOINT=1`` forces the one-component
+    joint path (for equality testing)."""
+    import os
+    import jax.numpy as jnp
+    from .reduce_ks import factor_components
+
+    lps = [as_dt(lp) for lp in lps]
+    T_size = all_platedims[name]
+
+    if os.environ.get("ALAN_TPU_TS_JOINT") == "1":
+        comps = [(list(range(len(lps))),
+                  set(all_Ks) | set(K_currs))]
+    else:
+        comps = factor_components([tuple(dims_of(lp)) for lp in lps],
+                                  set(all_Ks) | set(K_currs))
+
+    total = None
+    for fidxs, cdims in comps:
+        clps = [lps[i] for i in fidxs]
+        c_nonts = [k for k in all_Ks if k in cdims]
+        c_groups = [g for g, kc in enumerate(K_currs) if kc in cdims]
+        if c_nonts:
+            r = reduce_Ks(clps, c_nonts)
+        else:
+            r = clps[0]
+            for x in clps[1:]:
+                r = r + x
+        if c_groups:
+            r = _chain_ts(r, name, [K_inits[g] for g in c_groups],
+                          [K_currs[g] for g in c_groups])
+        else:
+            if name in dims_of(r):
+                r = sum_dims(r, (name,))
+            else:
+                # a factor with no plate dim rides the old combined path
+                # broadcast over T and is summed T times — keep that
+                r = r * float(T_size)
+        total = r if total is None else total + r
+    return total
+
+
+def _chain_ts(lp, name, K_inits, K_currs):
+    """Chain one component's timeseries groups jointly: flatten the Kinit
+    dims into one axis and the Kcurr dims into another, chain the
+    [T, ΠKi, ΠK] operator with log-matmuls over T, logsumexp the final
+    state, and unflatten back to the separate Kinit dims (reference
+    ``logpq.py:131-146``)."""
+    import jax.numpy as jnp
+    o = lp.order(name, *K_inits, *K_currs)      # (*hi, T, Ki..., K...)
+    n = len(K_inits)
+    nrem = len(o.dims)
+    shp = o.data.shape
+    T_size = shp[nrem]
+    ki_sizes = shp[nrem + 1: nrem + 1 + n]
+    k_sizes = shp[nrem + 1 + n:]
+    joint = o.data.reshape(
+        shp[:nrem] + (T_size, math.prod(ki_sizes), math.prod(k_sizes)))
+    chained = _chain(joint, name)               # (*hi, ΠKi, ΠK)
+    maxv = jax.lax.stop_gradient(jnp.max(chained, axis=-1))
+    summed = jnp.log(jnp.sum(
+        jnp.exp(chained - maxv[..., None]), axis=-1))
+    out = (summed + maxv).reshape(shp[:nrem] + tuple(ki_sizes))
+    return bind(DT(out, o.dims), *K_inits)
 
 
 def _chain(ms, platename):

@@ -1,0 +1,125 @@
+"""HLO collective audit + comm-vs-compute scaling model.
+
+Multi-chip hardware is not reachable from this environment, so multi-chip
+evidence is extracted from the *compiled program* instead: after GSPMD
+partitioning, the HLO text names every collective XLA inserted.  The audit
+verifies the expected collectives exist (and only those — e.g. a
+data-parallel plate sharding must produce all-reduces, a T-sharded
+timeseries chain must produce all-gathers or collective-permutes), counts
+the bytes each moves, and feeds a first-order comm-vs-compute model that
+predicts scaling efficiency at pod sizes.
+
+The reference framework is single-device (SURVEY.md §2.4) — there is no
+reference counterpart; the ≥80% scaling target comes from BASELINE.md.
+"""
+from __future__ import annotations
+
+import re
+
+__all__ = ["collective_inventory", "audit_compiled", "predict_scaling",
+           "scaling_report"]
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+    "c64": 8, "c128": 16,
+}
+
+# `%name = <shape> <collective-op>(...)`; shape may be a tuple.  TPU emits
+# async pairs (`all-reduce-start` / `-done`); count only the `-start` (or
+# the sync form) so each transfer is counted once.
+_COLL_RE = re.compile(
+    r"=\s*((?:\([^)]*\))|(?:[a-z0-9]+\[[^\]]*\](?:\{[^}]*\})?))\s+"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(-start)?\(")
+
+
+def _shape_bytes(shape_str: str) -> int:
+    total = 0
+    for m in re.finditer(r"([a-z0-9]+)\[([\d,]*)\]", shape_str):
+        dt, dims = m.groups()
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def collective_inventory(hlo_text: str) -> dict:
+    """Count collectives and the bytes each kind's outputs carry in a
+    post-SPMD HLO module text (``compiled.as_text()``)."""
+    inv: dict[str, dict] = {}
+    for m in _COLL_RE.finditer(hlo_text):
+        shape, kind, _ = m.groups()
+        e = inv.setdefault(kind, {"count": 0, "bytes": 0})
+        e["count"] += 1
+        e["bytes"] += _shape_bytes(shape)
+    return inv
+
+
+def audit_compiled(compiled, expect=(), forbid=()) -> dict:
+    """Inventory a compiled (jit-lowered) executable's collectives.
+
+    ``expect``: kinds that MUST appear (e.g. ``("all-reduce",)`` for a
+    data-parallel plan).  ``forbid``: kinds that must NOT.  Raises
+    AssertionError otherwise.  Returns the inventory dict.
+    """
+    inv = collective_inventory(compiled.as_text())
+    for kind in expect:
+        assert kind in inv, (
+            f"expected collective '{kind}' absent from compiled HLO; "
+            f"present: {sorted(inv)}")
+    for kind in forbid:
+        assert kind not in inv, (
+            f"forbidden collective '{kind}' present in compiled HLO: {inv[kind]}")
+    return inv
+
+
+# Per-collective wire-traffic factor for a ring implementation on an N-chip
+# slice: all-reduce moves ~2·(N−1)/N of its payload per chip
+# (reduce-scatter + all-gather phases), all-gather/reduce-scatter (N−1)/N,
+# collective-permute exactly its payload.
+_WIRE_FACTOR = {
+    "all-reduce": lambda n: 2.0 * (n - 1) / n,
+    "all-gather": lambda n: (n - 1) / n,
+    "reduce-scatter": lambda n: (n - 1) / n,
+    "collective-permute": lambda n: 1.0,
+    "all-to-all": lambda n: (n - 1) / n,
+}
+
+
+def predict_scaling(flops_per_step: float, inventory: dict, n_chips: int,
+                    peak_flops: float = 1.97e14,
+                    achieved_frac: float = 0.04,
+                    ici_bytes_per_s: float = 1.8e11) -> dict:
+    """First-order comm-vs-compute efficiency at ``n_chips``.
+
+    t_comp = per-chip FLOPs / achieved FLOP rate, with compute split evenly
+    (the sharded dims carry the work).  t_comm = Σ wire-factor(kind)·bytes /
+    ICI bandwidth, holding per-collective payloads at their audited sizes
+    (first-order: payloads here are replicated-parameter reductions and K×K
+    boundary operators, whose sizes do not grow with the slice).
+    Efficiency = t_comp / (t_comp + t_comm) — the weak-scaling ratio against
+    a perfectly-linear step.
+
+    Defaults are TPU v5e: 197 bf16 TFLOP/s peak; ICI ~45 GB/s per link ×4
+    links.  ``achieved_frac`` should be the measured single-chip MFU of the
+    same step so t_comp reflects reality, not peak.
+    """
+    t_comp = flops_per_step / n_chips / (peak_flops * achieved_frac)
+    t_comm = 0.0
+    for kind, e in inventory.items():
+        factor = _WIRE_FACTOR.get(kind, lambda n: 1.0)(n_chips)
+        t_comm += factor * e["bytes"] / ici_bytes_per_s
+    eff = t_comp / (t_comp + t_comm) if (t_comp + t_comm) > 0 else 1.0
+    return {"n_chips": n_chips, "t_comp_s": t_comp, "t_comm_s": t_comm,
+            "efficiency": eff}
+
+
+def scaling_report(flops_per_step: float, inventory: dict,
+                   chip_counts=(8, 16, 64), **kw) -> dict:
+    return {str(n): predict_scaling(flops_per_step, inventory, n, **kw)
+            for n in chip_counts}

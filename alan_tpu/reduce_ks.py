@@ -21,7 +21,7 @@ import opt_einsum
 import jax
 import jax.numpy as jnp
 
-from .dims import (DT, as_dt, dims_of, logsumexp_dims, unify_dims,
+from .dims import (DT, as_dt, bind, dims_of, logsumexp_dims, unify_dims,
                    check_unique_dims, dt_index)
 
 
@@ -229,6 +229,56 @@ def sample_Ks(lps, Ks_to_sum, N_dim: str, num_samples: int, keygen,
     return indices
 
 
+def factor_components(factor_dims, elim):
+    """Partition factors into connected components linked by shared dims in
+    ``elim`` (union-find).  Returns a list of ``(factor_idxs, comp_dims)``
+    with ``factor_idxs`` sorted and components ordered by smallest factor
+    index (deterministic, so PRNG-key consumption order is stable under
+    jit).  ``comp_dims`` is the set of elim dims present in the component.
+
+    Two factors must be reduced together iff they share an eliminated dim
+    (directly or transitively): eliminations over disjoint dim sets commute,
+    so each component contracts independently and the results add in
+    log-space.  This is what lets n independent timeseries in one plate cost
+    n·O(T·K²) instead of the joint O(T·K^{2n}) chain
+    (cf. reference ``logpq.py:133-146``, which always builds the joint).
+    """
+    elim = set(elim)
+    parent = list(range(len(factor_dims)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i, j):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    dim2first = {}
+    for i, ds in enumerate(factor_dims):
+        for d in ds:
+            if d in elim:
+                if d in dim2first:
+                    union(i, dim2first[d])
+                else:
+                    dim2first[d] = i
+
+    comps = {}
+    for i in range(len(factor_dims)):
+        comps.setdefault(find(i), []).append(i)
+    out = []
+    for root in sorted(comps):
+        idxs = sorted(comps[root])
+        cdims = set()
+        for i in idxs:
+            cdims |= set(factor_dims[i]) & elim
+        out.append((idxs, cdims))
+    return out
+
+
 def _index_dim_int(x, dim, i: int):
     """Pick index i along a named dim (drops the dim)."""
     o = as_dt(x).order(dim)
@@ -249,32 +299,97 @@ def _categorical_over(lp, kdim, N_dim, num_samples, key):
     return DT(idx, (N_dim,) + o.dims)
 
 
+def _ffbs_joint_max():
+    """Largest joint chain-state size ΠK for which a coupled component of
+    timeseries K-groups is smoothed exactly over the flattened product space;
+    beyond this the linear-cost conditional pass takes over."""
+    return int(os.environ.get("ALAN_TPU_FFBS_JOINT_MAX", "4096"))
+
+
+#: routing trace for tests: list of ("joint"|"conditional", (ts_Ks...)) per
+#: component, reset at every sample_Ks_timeseries call.
+_ffbs_routes: list = []
+
+
 def sample_Ks_timeseries(lps, ts_Ks, ts_init_Ks, N_dim, num_samples, T_dim,
                          indices, keygen):
-    """Joint posterior indices for timeseries K-dims via exact
-    forward-filter / backward-sample over the particle index chain.
+    """Posterior indices for timeseries K-dims via forward-filter /
+    backward-sample over the particle index chain.
 
-    Functional equivalent of reference ``reduce_Ks.py:85-232`` (which
-    implements Briers-style smoothing), generalised: ALL the plate's
-    timeseries K-groups are smoothed *jointly* over the flattened product
-    state space [T, ΠKi, ΠK] — the same joint chain the ELBO contracts
-    (reference ``logpq.py:133-146``) — and the sampled joint index is
-    unravelled back into per-group indices.  (The reference loops per group,
-    conditioning each chain on marginals of the others; the joint chain is
-    exact for any number of ungrouped timeseries in one plate.)  Forward
-    alphas by log-matvec, backward ancestral sampling with
-    ``jax.random.categorical``.
+    Functional equivalent of reference ``reduce_Ks.py:85-232`` (Briers-style
+    smoothing), redesigned in three ways:
+
+    1. **Component decomposition (exact).**  The plate's timeseries K-groups
+       are partitioned into connected components of the factor graph: two
+       groups are coupled iff some factor chain links their K-dims (directly,
+       or transitively through a not-yet-sampled non-timeseries K-dim).
+       Independent chains smooth separately — n independent timeseries cost
+       n·O(T·K²), not the O(T·K^{2n}) joint.  This also makes the
+       marginalisation of unsampled non-ts K-dims exact: every factor
+       carrying such a dim is pulled into the component before the logsumexp
+       (the reference — and our earlier joint path — dropped factors without
+       ts K-dims from that marginalisation).
+    2. **Exact joint smoothing per component** over the flattened product
+       space [T, ΠKi, ΠK] when ΠK ≤ ``ALAN_TPU_FFBS_JOINT_MAX`` — the same
+       joint chain the ELBO contracts.
+    3. **Linear-cost conditional pass** (``_ffbs_conditional``) for coupled
+       components whose joint state is too large — per-group ancestral FFBS,
+       conditioning on already-sampled groups' trajectories and collapsing
+       not-yet-sampled groups per step (approximate, like the reference's
+       per-group loop at ``reduce_Ks.py:104-232``, but ancestral and O(T)
+       instead of marginal-per-t and O(T²)).
     """
-    from .dims import expand_to
     check_unique_dims(tuple(ts_Ks))
     assert len(ts_Ks) == len(ts_init_Ks) >= 1
     indices = dict(indices)
     set_ts = set(ts_Ks)
     set_init = set(ts_init_Ks)
 
-    # factors relevant to the chains: those carrying any timeseries K-dim
-    sel = [lp.materialize() if getattr(lp, "__lazy_dt__", False) else lp
-           for lp in lps if set(dims_of(lp)) & set_ts]
+    lps = [lp.materialize() if getattr(lp, "__lazy_dt__", False) else lp
+           for lp in lps]
+    # dims that couple factors: the ts K-dims themselves plus any K-dim not
+    # yet sampled at this plate (it will be marginalised inside the FFBS, so
+    # all factors carrying it must enter the same component)
+    elim = set(set_ts)
+    for lp in lps:
+        for d in dims_of(lp):
+            if d.startswith("K_") and d not in indices and d not in set_init:
+                elim.add(d)
+
+    _ffbs_routes.clear()
+    fdims = [tuple(dims_of(lp)) for lp in lps]
+    for fidxs, cdims in factor_components(fdims, elim):
+        c_ts = [k for k in ts_Ks if k in cdims]
+        if not c_ts:
+            continue  # pure non-ts component: sample_Ks handles it later
+        c_inits = [ts_init_Ks[ts_Ks.index(k)] for k in c_ts]
+        clps = [lps[i] for i in fidxs]
+        sizes = {}
+        for l in clps:
+            sizes.update(as_dt(l).dimsizes())
+        joint = math.prod(sizes[k] for k in c_ts)
+        shared_init = len(set(c_inits)) < len(c_inits)
+        if len(c_ts) == 1 or joint <= _ffbs_joint_max() or shared_init:
+            _ffbs_routes.append(("joint", tuple(c_ts)))
+            indices = _ffbs_joint(clps, c_ts, c_inits, N_dim, num_samples,
+                                  T_dim, indices, keygen)
+        else:
+            _ffbs_routes.append(("conditional", tuple(c_ts)))
+            indices = _ffbs_conditional(clps, c_ts, c_inits, N_dim,
+                                        num_samples, T_dim, indices, keygen)
+    return indices
+
+
+def _ffbs_joint(sel, ts_Ks, ts_init_Ks, N_dim, num_samples, T_dim,
+                indices, keygen):
+    """Exact joint FFBS for one coupled component: smooth its K-groups over
+    the flattened product state space [T, ΠKi, ΠK], then unravel the sampled
+    joint index back into per-group indices.  Forward alphas by log-matvec,
+    backward ancestral sampling with ``jax.random.categorical``."""
+    indices = dict(indices)
+    set_ts = set(ts_Ks)
+    set_init = set(ts_init_Ks)
+
     lp = sel[0]
     for x in sel[1:]:
         lp = lp + x
@@ -296,48 +411,74 @@ def sample_Ks_timeseries(lps, ts_Ks, ts_init_Ks, N_dim, num_samples, T_dim,
                      and d not in indices)
     if other_Ks:
         lp = logsumexp_dims(lp, other_Ks, ignore_extra_dims=True)
-    if N_dim not in dims_of(lp):
-        # no N-dimmed ancestors: tile over the N draws explicitly
-        lp = lp + DT(jnp.zeros((num_samples,)), (N_dim,))
-
-    # canonical raw layout: M[t, *rest, ΠKi, ΠK]
+    # Canonical raw layout: M[t, *rest_M, ΠKi, ΠK].  The N importance-sample
+    # dim is deliberately KEPT OUT of M: the operator is the same for every
+    # posterior draw — only the filter state alpha is N-dependent (through
+    # the conditioned init particle) — so tiling N into M would materialise
+    # an [N, T, ΠKi, ΠK] tensor (tens of GB at N=3000, K=30 coupled) for no
+    # information.
     o = lp.order(T_dim, *ts_init_Ks, *ts_Ks)
-    rest = o.dims                                   # includes N_dim
-    nrem = len(rest)
+    rest_M = o.dims
+    nrem = len(rest_M)
     n = len(ts_Ks)
     shp = o.data.shape
     ki_sizes = shp[nrem + 1: nrem + 1 + n]
     k_sizes = shp[nrem + 1 + n:]
     M = o.data.reshape(shp[:nrem + 1]
                        + (math.prod(ki_sizes), math.prod(k_sizes)))
-    M = jnp.moveaxis(M, nrem, 0)                    # (T, *rest, ΠKi, ΠK)
+    M = jnp.moveaxis(M, nrem, 0)                    # (T, *rest_M, ΠKi, ΠK)
     T = M.shape[0]
 
     # joint init index: ravel the per-group init indices (row-major, same
-    # axis order as the flatten above)
-    init_idx = 0
+    # axis order as the flatten above); DT arithmetic aligns by dim name
+    init_dt = None
     for sz, ki in zip(ki_sizes, ts_init_Ks):
-        init_idx = init_idx * sz + expand_to(as_dt(indices[ki]), rest)
-    init_idx = jnp.broadcast_to(init_idx, M.shape[1:-2])
+        idx = as_dt(indices[ki])
+        init_dt = idx if init_dt is None else init_dt * sz + idx
+    if N_dim not in dims_of(init_dt):
+        # no N-dimmed init (cannot normally happen — the root group always
+        # samples with an explicit N axis): tile the state over the N draws
+        init_dt = init_dt + DT(jnp.zeros((num_samples,), jnp.int32), (N_dim,))
 
-    # forward filter: alpha_t[*rest, k]
-    alpha0 = jnp.take_along_axis(M[0], init_idx[..., None, None],
-                                 axis=-2)[..., 0, :]
+    # alpha dims: (extra..., rest_M...) with rest_M as the SUFFIX so raw
+    # arrays broadcast right-aligned against M's batch block
+    M0 = bind(DT(M[0], rest_M), "*Ki")
+    a0 = dt_index(M0, "*Ki", init_dt)               # dims ⊇ rest_M ∪ N, pos (K,)
+    extra = tuple(d for d in a0.dims if d not in rest_M)
+    a0 = a0.with_dims_front(extra + tuple(rest_M))
+    arest = a0.dims
+    alpha0 = a0.data                                # (*extra, *rest_M, K)
+
+    def _log_matvec(alpha, M_t):
+        # logsumexp_i alpha[..., i] + M_t[..., i, j] without materialising
+        # the (N, ΠKi, ΠK) intermediate: max-shifted exp + einsum (the
+        # batched matmul rides the MXU on TPU)
+        a_max = jnp.max(alpha, axis=-1, keepdims=True)
+        a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
+        m_max = jnp.max(M_t, axis=-2, keepdims=True)
+        m_max = jnp.where(jnp.isfinite(m_max), m_max, 0.0)
+        prod = jnp.einsum("...i,...ij->...j", jnp.exp(alpha - a_max),
+                          jnp.exp(M_t - m_max))
+        return jnp.log(prod) + a_max + jnp.squeeze(m_max, -2)
 
     def fwd(alpha, M_t):
-        nxt = jax.scipy.special.logsumexp(alpha[..., :, None] + M_t, axis=-2)
+        nxt = _log_matvec(alpha, M_t)
         return nxt, nxt
 
     _, alphas_rest = jax.lax.scan(fwd, alpha0, M[1:])
-    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)  # (T,*rest,K)
+    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
+    # (T, *extra, *rest_M, ΠK)
 
     # backward ancestral sampling
     k_last = jax.random.categorical(keygen(), alphas[T - 1], axis=-1)
 
+    n_extra = len(extra)
+
     def bwd(k_next, inp):
         alpha_t, M_next, key = inp
-        sel_ = jnp.take_along_axis(M_next, k_next[..., None, None],
-                                   axis=-1)[..., 0]   # (*rest, Ki)
+        M_b = M_next.reshape((1,) * n_extra + M_next.shape)
+        sel_ = jnp.take_along_axis(M_b, k_next[..., None, None],
+                                   axis=-1)[..., 0]   # (*extra, *rest_M, Ki)
         k_t = jax.random.categorical(key, alpha_t + sel_, axis=-1)
         return k_t, k_t
 
@@ -352,5 +493,92 @@ def sample_Ks_timeseries(lps, ts_Ks, ts_init_Ks, N_dim, num_samples, T_dim,
     # unravel the joint index back into per-group indices
     unravelled = jnp.unravel_index(ks, k_sizes)
     for kdim, u in zip(ts_Ks, unravelled):
-        indices[kdim] = DT(u, (T_dim,) + rest)
+        indices[kdim] = DT(u, (T_dim,) + arest)
+    return indices
+
+
+def _lagged_traj(traj, init_idx, T_dim):
+    """Shift a T-dimmed index trajectory one step along T: entry t is
+    ``traj[t-1]``; entry 0 is the parent init-particle index."""
+    traj = as_dt(traj)
+    init_idx = as_dt(init_idx)
+    o = traj.order(T_dim)                       # (*rest_named, T)
+    rest = o.dims
+    extra = [d for d in init_idx.dims if d not in rest]
+    assert not extra, f"init index carries dims {extra} absent from trajectory"
+    from .dims import expand_to
+    init = jnp.broadcast_to(expand_to(init_idx, rest), o.data.shape[:-1])
+    lag = jnp.concatenate([init[..., None].astype(o.data.dtype),
+                           o.data[..., :-1]], axis=-1)
+    return DT(jnp.moveaxis(lag, -1, 0), (T_dim,) + rest)
+
+
+def _collapse_chain(f, kdj, kij, init_idx, T_dim):
+    """Collapse an unsampled timeseries chain's state dims from one factor,
+    per time step (the conditional-pass approximation: the chain is
+    integrated out as if independent across steps).  The lagged dim ``kij``
+    at t=0 indexes the parent init particle — which IS already sampled — so
+    it is conditioned there rather than collapsed."""
+    from .dims import slice_dim, concat_dim
+    f = as_dt(f)
+    if kdj in f.dims:
+        f = logsumexp_dims(f, (kdj,), ignore_extra_dims=True)
+    if kij is not None and kij in f.dims:
+        if T_dim in f.dims and init_idx is not None:
+            T = f.dim_size(T_dim)
+            f0 = dt_index(slice_dim(f, T_dim, 0, 1), kij, init_idx)
+            fr = logsumexp_dims(slice_dim(f, T_dim, 1, T), (kij,))
+            for d in dims_of(f0):
+                if d not in dims_of(fr):
+                    fr = fr + DT(jnp.zeros((f0.dim_size(d),), fr.dtype), (d,))
+            f = concat_dim([f0, fr], T_dim)
+        elif init_idx is not None:
+            # no T axis: the dim can only mean direct init dependence
+            f = dt_index(f, kij, init_idx)
+        else:
+            f = logsumexp_dims(f, (kij,), ignore_extra_dims=True)
+    return f
+
+
+def _ffbs_conditional(clps, ts_Ks, ts_init_Ks, N_dim, num_samples, T_dim,
+                      indices, keygen):
+    """Linear-cost per-group smoothing for a coupled component whose joint
+    chain state would be too large (reference analog:
+    ``reduce_Ks.py:104-232``, which is marginal-per-t and O(T²); this one is
+    ancestral and O(T)).
+
+    Groups are sampled sequentially: group i's chain is smoothed exactly
+    after (a) conditioning every factor on the trajectories of groups
+    sampled before it (with the lagged dim indexed by the shifted
+    trajectory), and (b) collapsing the not-yet-sampled groups' chain dims
+    per step — the approximation: their temporal consistency is ignored, as
+    in the reference's per-group loop.  Unsampled non-timeseries K-dims are
+    collapsed per factor (the exact treatment lives in the joint path).
+    """
+    indices = dict(indices)
+    groups = list(zip(ts_Ks, ts_init_Ks))
+    for kd, ki in groups:
+        fs = []
+        for f in clps:
+            f = as_dt(f)
+            for kdj, kij in groups:
+                if kdj == kd:
+                    continue
+                if kdj in indices:
+                    # sampled earlier: condition on the trajectory exactly
+                    if kdj in f.dims:
+                        f = dt_index(f, kdj, indices[kdj])
+                    if kij in f.dims and kij != ki:
+                        f = dt_index(f, kij, _lagged_traj(
+                            indices[kdj], indices[kij], T_dim))
+                elif kdj in f.dims or (kij in f.dims and kij != ki):
+                    f = _collapse_chain(f, kdj, kij if kij != ki else None,
+                                        indices.get(kij), T_dim)
+            coll = tuple(d for d in dims_of(f) if d.startswith("K_")
+                         and d not in indices and d != kd)
+            if coll:
+                f = logsumexp_dims(f, coll, ignore_extra_dims=True)
+            fs.append(f)
+        indices = _ffbs_joint(fs, [kd], [ki], N_dim, num_samples, T_dim,
+                              indices, keygen)
     return indices

@@ -39,9 +39,17 @@ def logPQ_sample(name: Optional[str], P: Plate, Q: Plate, sample: dict,
         indices = sample_Ks_timeseries(lps, ts_Ks, ts_init_Ks, N_dim,
                                        num_samples, name, indices, keygen)
 
-    # condition every factor on all indices sampled so far
+    # condition every factor on all indices sampled so far.  A chain
+    # factor's Kinit axis means "previous-step particle": at t=0 that is the
+    # parent init particle, at t>0 the chain's own t−1 particle — so it must
+    # be indexed with the LAGGED trajectory, not the init index replicated
+    # over T (which would mis-weight every later K-dim sampled at this
+    # plate).
+    curr_for_init = {}
+    for kd, ki in zip(ts_Ks, ts_init_Ks):
+        curr_for_init.setdefault(ki, []).append(kd)
     lps = [
-        _index_all(lp, indices) for lp in lps
+        _index_all(lp, indices, curr_for_init, name) for lp in lps
     ]
 
     if len(non_ts_Ks) > 0:
@@ -71,11 +79,20 @@ def logPQ_sample(name: Optional[str], P: Plate, Q: Plate, sample: dict,
     return indices
 
 
-def _index_all(lp, indices):
+def _index_all(lp, indices, curr_for_init=None, T_dim=None):
     if getattr(lp, "__lazy_dt__", False):
         # lazy factored log-prob: reverse-replay sampling indexes into the
         # factor, so the dense form is needed here
         lp = lp.materialize()
     for dim in [d for d in dims_of(lp) if d in indices]:
-        lp = dt_index(lp, dim, indices[dim])
+        idx = indices[dim]
+        if (curr_for_init and dim in curr_for_init and T_dim is not None
+                and T_dim in dims_of(lp)):
+            # lagged chain axis: shift the chain's sampled trajectory one
+            # step, with the init particle index at t=0
+            from .reduce_ks import _lagged_traj
+            currs = curr_for_init[dim]
+            kd = next((k for k in currs if k in dims_of(lp)), currs[0])
+            idx = _lagged_traj(indices[kd], idx, T_dim)
+        lp = dt_index(lp, dim, idx)
     return lp

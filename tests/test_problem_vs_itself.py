@@ -30,6 +30,7 @@ tp_names = [
     "model_linear_multivariate_gaussian_param",
     "model_timeseries",
     "model_double_timeseries",
+    "model_indep_timeseries",
 ]
 
 tps = {name: importlib.import_module(name).tp for name in tp_names}

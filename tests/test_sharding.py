@@ -271,3 +271,79 @@ def test_sequence_sharded_ring_matches():
     mesh = make_mesh({"t": 8})
     out = chain_logmmexp_sharded(ms, mesh, "t", method="ring")
     assert np.allclose(np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_collective_inventory_and_scaling_model():
+    """The compiled sharded step carries the expected collectives (and the
+    unsharded step carries none); the audited byte counts feed the
+    comm-vs-compute model (VERDICT r2 next-step #4)."""
+    from alan_tpu.parallel.hlo_audit import (audit_compiled,
+                                             collective_inventory,
+                                             scaling_report)
+    problem = _tiny_problem()
+    K = 8
+
+    mesh = make_mesh({"k": 2, "p": 4})
+    plan = MeshPlan(mesh, {"plate_1": "p"}).with_all_K("k")
+    step_sh, state_sh = train.qem(problem, K, lr=0.1, mesh_plan=plan)
+    with mesh:
+        compiled = step_sh.lower(state_sh, jax.random.key(0)).compile()
+    inv = audit_compiled(compiled, expect=("all-reduce",))
+    assert inv["all-reduce"]["count"] >= 1
+    assert inv["all-reduce"]["bytes"] > 0
+
+    step_plain, state_plain = train.qem(problem, K, lr=0.1)
+    compiled_plain = step_plain.lower(state_plain, jax.random.key(0)).compile()
+    audit_compiled(compiled_plain,
+                   forbid=("all-reduce", "all-gather", "reduce-scatter",
+                           "collective-permute", "all-to-all"))
+
+    rep = scaling_report(1e9, inv, chip_counts=(8, 16, 64))
+    effs = [rep[str(n)]["efficiency"] for n in (8, 16, 64)]
+    assert all(0.0 < e <= 1.0 for e in effs)
+    # fixed-payload collectives: efficiency decreases as compute thins out
+    assert effs[0] >= effs[1] >= effs[2]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_collective_inventory_t_sharded_chain():
+    """The T-sharded timeseries step's compiled HLO contains the boundary
+    operator exchange (all-gather or collective-permute)."""
+    from alan_tpu.parallel.hlo_audit import audit_compiled
+    problem = _covid_shaped_problem()
+    K = 8
+    mesh = make_mesh({"t": 8})
+    plan = MeshPlan(mesh, {"T": "t"})
+    step_sh, state_sh = train.qem(problem, K, lr=0.1, mesh_plan=plan)
+    with mesh:
+        compiled = step_sh.lower(state_sh, jax.random.key(0)).compile()
+    inv = audit_compiled(compiled)
+    assert ("all-gather" in inv) or ("collective-permute" in inv), inv
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_split_meshplan_composition():
+    """Split chunked-scan over one plate composes with mesh sharding of the
+    other dims in the same step; results match the plain step exactly
+    (VERDICT r2 next-step #4)."""
+    from alan_tpu import Split
+    problem = _tiny_problem()
+    K = 8
+
+    step_plain, state_plain = train.qem(problem, K, lr=0.1)
+    (sP0, sQ0), elbo_plain = step_plain(state_plain, jax.random.key(0))
+
+    mesh = make_mesh({"k": 2, "p": 4})
+    plan = MeshPlan(mesh, {"plate_2": "p"}).with_all_K("k")
+    step_sh, state_sh = train.qem(problem, K, lr=0.1,
+                                  computation_strategy=Split("plate_1", 8),
+                                  mesh_plan=plan)
+    with mesh:
+        (sP1, sQ1), elbo_sh = step_sh(state_sh, jax.random.key(0))
+
+    assert np.isclose(float(elbo_plain), float(elbo_sh), rtol=1e-4, atol=1e-4)
+    for k in sQ0["qem_params"]:
+        a = np.asarray(sQ0["qem_params"][k].data)
+        b = np.asarray(sQ1["qem_params"][k].data)
+        assert np.allclose(a, b, rtol=1e-3, atol=1e-4), k

@@ -1,0 +1,141 @@
+"""Tests for the timeseries factor-component decomposition.
+
+Covers: (1) the per-component ELBO chain contraction equals the always-joint
+contraction (``ALAN_TPU_TS_JOINT=1`` forces the reference-style single joint
+chain, ``logpq.py:133-146``); (2) FFBS routing — independent chains smooth
+as singleton components even when the would-be joint state exceeds the
+threshold; (3) the linear-cost conditional pass for genuinely coupled
+components (reference analog ``reduce_Ks.py:104-232``) produces posterior
+moments consistent with the exact joint smoother; (4) factors carrying an
+unsampled non-timeseries K-dim are pulled into the FFBS marginalisation
+(exactness fix over the reference, which drops them).
+"""
+import importlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from alan_tpu import (Normal, Timeseries, Plate, BoundPlate, Data, Problem,
+                      mean, named)
+from alan_tpu.dims import as_dt, dims_of
+from alan_tpu.moments import var_from_raw_moment
+from alan_tpu import reduce_ks
+
+indep_tp = importlib.import_module("model_indep_timeseries").tp
+coupled_tp = importlib.import_module("model_double_timeseries").tp
+
+_key_counter = [100]
+
+
+def fresh_key():
+    _key_counter[0] += 1
+    return jax.random.fold_in(jax.random.key(7), _key_counter[0])
+
+
+@pytest.mark.parametrize("tp,K", [(indep_tp, 8), (coupled_tp, 16)])
+def test_elbo_component_equals_joint(tp, K, monkeypatch):
+    """The decomposed chain contraction is exact: it equals the joint
+    [T, ΠKi, ΠK] contraction on the same sample (small K so the joint is
+    feasible — 3 indep chains at K=8 give a 512² joint operator)."""
+    sample = tp.problem.sample(K=K, reparam=False, key=fresh_key())
+    e_decomp = float(sample.elbo_nograd())
+    monkeypatch.setenv("ALAN_TPU_TS_JOINT", "1")
+    e_joint = float(sample.elbo_nograd())
+    assert np.isclose(e_decomp, e_joint, rtol=1e-5, atol=1e-4), \
+        (e_decomp, e_joint)
+
+
+def test_ffbs_routes_independent(monkeypatch):
+    """Three independent chains route as three singleton joint FFBS passes
+    even with the joint-state cap below K² (components, not thresholds,
+    decide)."""
+    monkeypatch.setenv("ALAN_TPU_FFBS_JOINT_MAX", "100")
+    sample = indep_tp.problem.sample(K=30, reparam=False, key=fresh_key())
+    sample.importance_sample(100, key=fresh_key())
+    routes = list(reduce_ks._ffbs_routes)
+    assert len(routes) == 3
+    assert all(kind == "joint" and len(ks) == 1 for kind, ks in routes)
+
+
+def test_ffbs_conditional_route_moments(monkeypatch):
+    """Coupled chains with the joint-state cap exceeded route through the
+    conditional pass; its importance-sample moments agree with the exact
+    joint smoother's within Monte-Carlo error (the approximation collapses
+    the unsampled chain per step)."""
+    N = 3000
+    sample = coupled_tp.problem.sample(K=30, reparam=False, key=fresh_key())
+    marginals = sample.marginals()
+
+    is_joint = sample.importance_sample(N, key=fresh_key())
+    assert [k for k, _ in reduce_ks._ffbs_routes] == ["joint"]
+
+    monkeypatch.setenv("ALAN_TPU_FFBS_JOINT_MAX", "1")
+    is_cond = sample.importance_sample(N, key=fresh_key())
+    routes = list(reduce_ks._ffbs_routes)
+    assert [k for k, _ in routes] == ["conditional"]
+    assert len(routes[0][1]) == 2
+
+    for varnames, m in coupled_tp.moments:
+        mm = marginals._moments(varnames, m)
+        est_var = marginals._moments(varnames, var_from_raw_moment(m))
+        stderr = (est_var / N).sqrt()
+        cj = as_dt(is_joint._moments(varnames, m))
+        cc = as_dt(is_cond._moments(varnames, m))
+        # joint path: unbiased, 6·stderr vs marginals; conditional path:
+        # approximate, allow bias up to 8·stderr of the same scale
+        dj = np.abs(cj.order(*cj.dims).data
+                    - mm.with_dims_front(cj.dims).order(*cj.dims).data)
+        dc = np.abs(cc.order(*cc.dims).data
+                    - mm.with_dims_front(cc.dims).order(*cc.dims).data)
+        s = stderr.with_dims_front(cj.dims).order(*cj.dims).data
+        assert np.all(dj < 6 * s), (dj, s)
+        assert np.all(dc < 8 * np.maximum(s, 0.02)), (dc, s)
+
+
+def _nonts_k_problem():
+    """A per-step latent `w` drives the transition: its K-dim couples into
+    the chain factor, while w's own prior/proposal factor carries only K_w.
+    Exact FFBS must marginalise K_w over the *product* of both factors."""
+    P = Plate(
+        init=Normal(0., 1.),
+        T=Plate(
+            w=Normal(0., 1.),
+            ts=Timeseries("init", Normal(lambda prev, w: 0.8 * prev + w, 0.3)),
+            obs=Normal("ts", 0.5),
+        ),
+    )
+    Q = Plate(
+        init=Normal(0., 1.),
+        T=Plate(
+            w=Normal(0., 1.),
+            ts=Normal(0., 1.5),
+            obs=Data(),
+        ),
+    )
+    T = 6
+    rng = np.random.default_rng(5)
+    y = np.cumsum(rng.standard_normal(T)).astype(np.float32)
+    data = {"obs": named(jnp.asarray(y), "T")}
+    return Problem(BoundPlate(P, {"T": T}), BoundPlate(Q, {"T": T}), data)
+
+
+def test_ffbs_nonts_factor_marginalisation():
+    """IS moments ≈ marginals moments (exact autodiff oracle) on a model
+    whose chain factor shares an unsampled K-dim with a non-ts factor."""
+    N = 3000
+    prob = _nonts_k_problem()
+    sample = prob.sample(K=30, reparam=False, key=fresh_key())
+    marginals = sample.marginals()
+    imp = sample.importance_sample(N, key=fresh_key())
+
+    for varnames in ("ts", "w"):
+        mm = marginals._moments(varnames, mean)
+        est_var = marginals._moments(varnames, var_from_raw_moment(mean))
+        stderr = (est_var / N).sqrt()
+        im = as_dt(imp._moments(varnames, mean))
+        d = np.abs(im.order(*im.dims).data
+                   - mm.with_dims_front(im.dims).order(*im.dims).data)
+        s = stderr.with_dims_front(im.dims).order(*im.dims).data
+        assert np.all(d < 6 * np.maximum(s, 1e-4)), (varnames, d, s)
