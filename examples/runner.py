@@ -194,8 +194,14 @@ def run(model_name, method="qem", K=30, iters=100, lr=None, predll_N=0,
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--grid", default=None, metavar="SPEC",
+                    help="declarative YAML/JSON grid spec "
+                         "(examples/gridspec.py schema; reference "
+                         "examples/config/conf.yaml analog): expand and run "
+                         "every job sequentially in-process, ignoring the "
+                         "other flags")
     ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
-    ap.add_argument("--model", required=True)
+    ap.add_argument("--model", required=False)
     ap.add_argument("--method", default="qem", choices=["vi", "rws", "qem", "global_vi", "global_rws", "global_qem"])
     ap.add_argument("--K", type=int, default=30)
     ap.add_argument("--iters", type=int, default=100)
@@ -228,6 +234,22 @@ def main():
                     help="force this many virtual host-platform devices "
                          "(CPU testing of --mesh)")
     args = ap.parse_args()
+    if args.grid:
+        import gridspec
+        spec = gridspec.load_spec(args.grid)
+        for i, argv in enumerate(gridspec.expand(spec)):
+            print(f"[grid {i + 1}] runner.py " + " ".join(argv),
+                  file=sys.stderr)
+            sub = ap.parse_args(argv)
+            split_ = (sub.split[0], int(sub.split[1])) if sub.split else None
+            run(sub.model, sub.method, sub.K, sub.iters, sub.lr,
+                sub.predll_N, sub.Q_param_type, split_, sub.seed, sub.out,
+                predll_every=sub.predll_every, fuse_iters=sub.fuse_iters,
+                runs=sub.runs, data_dir=sub.data_dir, mesh_spec=sub.mesh,
+                shard_spec=sub.shard, shard_all_k=sub.shard_all_k)
+        return
+    if args.model is None:
+        ap.error("--model is required (unless --grid is given)")
     if args.devices:
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:

@@ -120,3 +120,78 @@ def test_simple_example_runs(name):
     res = subprocess.run([sys.executable, "-c", prog], capture_output=True,
                          text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_gridspec_expand(tmp_path):
+    """Declarative grid schema expands methods x Ks_lrs x seeds into runner
+    argv lists and alan-grid command lines (reference conf.yaml analog)."""
+    import gridspec
+    spec_text = """
+defaults:
+  iters: 5
+  out_dir: res
+jobs:
+  - model: movielens
+    methods: [qem, vi]
+    Ks_lrs: {3: [0.1, 0.01], 10: [0.1]}
+    seeds: [0, 1]
+  - model: covid
+    methods: [rws]
+    Ks_lrs: {3: [0.01]}
+    split: {plate: nRs, size: 23}
+    mesh: k=2
+    shard_all_k: k
+    devices: 2
+"""
+    p = tmp_path / "spec.yaml"
+    p.write_text(spec_text)
+    spec = gridspec.load_spec(str(p))
+    jobs = gridspec.expand(spec)
+    # movielens: 2 methods x 3 (K,lr) x 2 seeds = 12; covid: 1
+    assert len(jobs) == 13
+    first = jobs[0]
+    assert first[:4] == ["--model", "movielens", "--method", "qem"]
+    assert "--iters" in first and first[first.index("--iters") + 1] == "5"
+    assert first[first.index("--out") + 1] == "res/movielens_qem_K3_lr0.1_s0.json"
+    cov = jobs[-1]
+    i = cov.index("--split")
+    assert cov[i + 1:i + 3] == ["nRs", "23"]
+    assert cov[cov.index("--mesh") + 1] == "k=2"
+    assert cov[cov.index("--shard-all-k") + 1] == "k"
+    lines = gridspec.command_lines(spec)
+    assert len(lines) == 13
+    assert lines[0].startswith("python examples/runner.py --model movielens")
+
+    # JSON round-trip of the same schema
+    import json
+    pj = tmp_path / "spec.json"
+    pj.write_text(json.dumps(spec))
+    assert gridspec.expand(gridspec.load_spec(str(pj))) == jobs
+
+    # unknown fields are rejected loudly
+    import pytest as _pytest
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("jobs:\n  - model: m\n    nonsense: 1\n")
+    with _pytest.raises(ValueError, match="nonsense"):
+        gridspec.load_spec(str(bad))
+
+
+def test_runner_grid_mode(tmp_path):
+    """`runner.py --grid spec.yaml` runs every expanded job in-process."""
+    spec = tmp_path / "g.yaml"
+    out1 = tmp_path / "a.json"
+    spec.write_text(
+        "jobs:\n"
+        "  - model: movielens\n"
+        "    methods: [qem]\n"
+        "    Ks_lrs: {3: [0.1]}\n"
+        f"    iters: 2\n    out: {out1}\n")
+    res = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, "runner.py"),
+         "--grid", str(spec)],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert res.returncode == 0, res.stderr[-2000:]
+    import json
+    r = json.loads(out1.read_text())
+    assert np.isfinite(r["elbos"][-1])
