@@ -52,6 +52,20 @@ def _matmul_min_k():
     return _MATMUL_MIN_K
 
 
+def _matmul_min_mn():
+    """Minimum size of EACH free side (m, n) for the matmul reformulation;
+    below this the step degenerates to a batched matvec (see gate comment
+    in logsumexp_sum)."""
+    return int(os.environ.get("ALAN_TPU_MATMUL_MIN_MN", "8"))
+
+
+def _matvec_min_mk():
+    """Minimum per-batch matrix size m·k for which a matvec-shaped step
+    (min(m,n) below _matmul_min_mn) still routes to the MXU (see gate
+    comment in logsumexp_sum)."""
+    return int(os.environ.get("ALAN_TPU_MATVEC_MIN_MK", "65536"))
+
+
 def logsumexp_sum(Ks_to_sum, *lps) -> DT:
     """One contraction step: logsumexp over ``Ks_to_sum`` of the sum of
     factors (reference ``reduce_Ks.py:249-251``).  Pairwise steps with a
@@ -104,7 +118,24 @@ def logsumexp_sum(Ks_to_sum, *lps) -> DT:
         a, b = dts
         shared = [k for k in Ks_to_sum if k in a.dims and k in b.dims]
         k_size = math.prod(a.dim_size(k) for k in shared) if shared else 0
-        if k_size >= _matmul_min_k():
+        # The matmul reformulation needs the step to actually fill MXU
+        # passes.  Two admissible shapes: (a) both free sides non-trivial
+        # (a real [m,k]@[k,n] batched matmul — bus_breakdown's m=n=K step
+        # is 7.9x faster on the MXU); (b) a matvec (n≈1) whose per-batch
+        # matrix m·k is large enough that each pass still streams real work
+        # (grouped movielens' [K_g,K_z]@[K_z,1] at K≥300).  A tiny matvec
+        # with a huge batch count — occupancy's hot K_z step, [30,30]@[30,1]
+        # x432000 — runs the 128-lane tiles near-empty and measured 2x
+        # SLOWER end-to-end than the VPU broadcast-add path
+        # (results/mxu_contract_bench.json).
+        set_ks = set(Ks_to_sum)
+        m_size = math.prod([a.dim_size(d) for d in a.dims
+                            if d not in b.dims and d not in set_ks] or [1])
+        n_size = math.prod([b.dim_size(d) for d in b.dims
+                            if d not in a.dims and d not in set_ks] or [1])
+        viable = (min(m_size, n_size) >= _matmul_min_mn()
+                  or max(m_size, n_size) * k_size >= _matvec_min_mk())
+        if k_size >= _matmul_min_k() and viable:
             from .ops.contraction import pairwise_logsumexp_contract
             return pairwise_logsumexp_contract(a, b, tuple(Ks_to_sum))
         lps = dts

@@ -285,7 +285,9 @@ def test_logsumexp_sum_multi_factor_matches_fallback():
 
     for Ks in [("K_x",), ("K_x", "K_y"), ("K_y",)]:
         lps = factors()
+        import os
         old = rk._MATMUL_MIN_K
+        os.environ["ALAN_TPU_MATMUL_MIN_MN"] = "1"   # relax the shape gate
         try:
             rk._MATMUL_MIN_K = 1               # force the MXU route on CPU
             mm = rk.logsumexp_sum(Ks, *lps)
@@ -293,6 +295,7 @@ def test_logsumexp_sum_multi_factor_matches_fallback():
             ref = rk.logsumexp_sum(Ks, *lps)
         finally:
             rk._MATMUL_MIN_K = old
+            del os.environ["ALAN_TPU_MATMUL_MIN_MN"]
         mm = as_dt(mm).with_dims_front(as_dt(ref).dims)
         assert mm.dims == as_dt(ref).dims
         np.testing.assert_allclose(np.asarray(mm.data),

@@ -99,6 +99,7 @@ def test_sharded_qem_step_matmul_contraction():
     import alan_tpu.reduce_ks as rk
     old = rk._MATMUL_MIN_K
     rk._MATMUL_MIN_K = 2
+    os.environ["ALAN_TPU_MATMUL_MIN_MN"] = "1"   # relax the shape gate
     try:
         problem = _tiny_problem()
         K = 8
@@ -112,6 +113,7 @@ def test_sharded_qem_step_matmul_contraction():
         assert np.isclose(float(elbo_plain), float(elbo_sh), rtol=1e-4, atol=1e-4)
     finally:
         rk._MATMUL_MIN_K = old
+        del os.environ["ALAN_TPU_MATMUL_MIN_MN"]
 
 
 def test_meshplan_warns_on_undividable_dim():
