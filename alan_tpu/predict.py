@@ -39,3 +39,25 @@ def predictive_ll_fn(problem, K: int, N: int, extended_platesizes: dict,
         return {k: v.data for k, v in pll.items()}
 
     return jax.jit(f)
+
+
+def importance_sample_fn(problem, K: int, N: int,
+                         sampler=PermutationSampler,
+                         computation_strategy=no_checkpoint):
+    """Returns a jitted ``f(stateP, stateQ, key) -> dict[varname, DT]`` of N
+    posterior draws per latent (the production form of
+    ``problem.sample(K).importance_sample(N).dump()`` — one XLA program
+    instead of an eager op-per-dispatch walk, which over the remote-TPU
+    tunnel is orders of magnitude slower).  Draws carry the ``N`` dim plus
+    their plate dims."""
+
+    def f(stateP, stateQ, key):
+        k1, k2 = jax.random.split(key)
+        tree, gv2K = problem.Q._sample(K, False, sampler,
+                                       problem.all_platedims, k1, state=stateQ)
+        s = Sample(problem, tree, gv2K, sampler, False,
+                   states=(stateP, stateQ))
+        isamp = s.importance_sample(N, computation_strategy, key=k2)
+        return isamp.dump()
+
+    return jax.jit(f)

@@ -90,6 +90,51 @@ def test_jitted_predictive_pipeline_matches_eager():
     assert float(out["obs"]) == float(out2["obs"])
 
 
+def test_jitted_importance_sample_fn():
+    """`predict.importance_sample_fn` compiles the full reverse-replay
+    pipeline; draws carry the N dim and their moments sit near the exact
+    marginals oracle."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                    "examples", "models"))
+    import movielens
+    from alan_tpu.predict import importance_sample_fn
+    from alan_tpu.dims import as_dt, dims_of, logmeanexp_dims
+    platesizes, all_ps, data, all_data, cov, all_cov = \
+        movielens.load_data_covariates(key=jax.random.key(0), M=16, N=2)
+    problem = movielens.generate_problem(platesizes, data, cov, "qem")
+    N = 1000
+    f = importance_sample_fn(problem, K=10, N=N)
+    draws = f(problem.P.state(), problem.Q.state(), jax.random.key(3))
+    assert set(draws) == {"mu_z", "psi_z", "z"}
+    for k, v in draws.items():
+        v = as_dt(v)
+        assert "N" in dims_of(v), k
+        assert v.dim_size("N") == N
+        assert np.all(np.isfinite(np.asarray(v.data))), k
+    # deterministic under the same key
+    draws2 = f(problem.P.state(), problem.Q.state(), jax.random.key(3))
+    assert np.array_equal(np.asarray(as_dt(draws["z"]).data),
+                          np.asarray(as_dt(draws2["z"]).data))
+    # jitted == eager on the SAME keys: replicate f's internal key split
+    # and run the object-API path
+    from alan_tpu.sample import Sample
+    from alan_tpu.sampler import PermutationSampler
+    from alan_tpu.split import no_checkpoint
+    k1, k2 = jax.random.split(jax.random.key(3))
+    tree, gv2K = problem.Q._sample(10, False, PermutationSampler,
+                                   problem.all_platedims, k1,
+                                   state=problem.Q.state())
+    s_eager = Sample(problem, tree, gv2K, PermutationSampler, False,
+                     states=(problem.P.state(), problem.Q.state()))
+    eager = s_eager.importance_sample(N, no_checkpoint, key=k2).dump()
+    for k in draws:
+        a = as_dt(draws[k]); b = as_dt(eager[k])
+        np.testing.assert_allclose(
+            np.asarray(a.data), np.asarray(b.with_dims_front(a.dims).data),
+            rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_qem_multivariate_normal():
     """QEM with a MultivariateNormal proposal (MVN conversions path)."""
     from alan_tpu import MultivariateNormal, Data, Plate, BoundPlate, Problem
