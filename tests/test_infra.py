@@ -87,3 +87,45 @@ def test_native_planner_path_quality():
     # every step is a pair
     for step in path:
         assert len(step) in (1, 2)
+
+
+def test_grid_executor_consumes_gridspec(tmp_path):
+    """Declarative spec -> gridspec expansion -> native alan-grid execution
+    (the run_grid.sh path), end-to-end on a tiny 2-job grid."""
+    import sys
+    root = os.path.dirname(os.path.dirname(__file__))
+    exe = os.path.join(root, "alan_tpu", "_native", "alan-grid")
+    if not os.path.exists(exe):
+        import pytest
+        pytest.skip("alan-grid not built")
+    sys.path.insert(0, os.path.join(root, "examples"))
+    import gridspec
+
+    spec = tmp_path / "spec.yaml"
+    out_dir = tmp_path / "res"
+    out_dir.mkdir()
+    spec.write_text(
+        "defaults:\n"
+        "  iters: 2\n"
+        "  platform: cpu\n"
+        f"  out_dir: {out_dir}\n"
+        "jobs:\n"
+        "  - model: movielens\n"
+        "    methods: [qem, rws]\n"
+        "    Ks_lrs: {3: [0.1]}\n")
+    lines = gridspec.command_lines(
+        gridspec.load_spec(str(spec)),
+        runner=os.path.join(root, "examples", "runner.py"),
+        python=sys.executable)
+    cmds = tmp_path / "cmds.txt"
+    cmds.write_text("\n".join(lines) + "\n")
+    status = tmp_path / "status.tsv"
+    r = subprocess.run([exe, "-j", "2", "-t", "600", "-s", str(status),
+                       str(cmds)], capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, (r.stdout[-500:], r.stderr[-1000:])
+    import json
+    outs = sorted(out_dir.glob("*.json"))
+    assert len(outs) == 2, outs
+    for p in outs:
+        rec = json.loads(p.read_text())
+        assert np.isfinite(rec["elbos"][-1]), p
