@@ -26,6 +26,8 @@ def _pq_of(state, method):
     if method in ("vi", "rws", "global_vi", "global_rws"):
         stateP, stateQ, _ = state
     else:
+        if len(state) == 2 and not hasattr(state[1], "keys"):
+            state, _ = state          # qem lr schedule: ((sP, sQ), t)
         stateP, stateQ = state
     return stateP, stateQ
 
@@ -205,7 +207,15 @@ def main():
     ap.add_argument("--method", default="qem", choices=["vi", "rws", "qem", "global_vi", "global_rws", "global_qem"])
     ap.add_argument("--K", type=int, default=30)
     ap.add_argument("--iters", type=int, default=100)
-    ap.add_argument("--lr", type=float, default=None)
+    def _lr(v):
+        try:
+            return float(v)
+        except ValueError:
+            return v          # qem schedule string, e.g. "0.1/t@200"
+    ap.add_argument("--lr", type=_lr, default=None,
+                    help="learning rate; for --method qem also a schedule "
+                         "string: '1/t' or '<lr0>/t@<T0>' (delayed "
+                         "averaging, fixes fixed-lr QEM drift)")
     ap.add_argument("--predll-N", type=int, default=0)
     ap.add_argument("--predll-every", type=int, default=0,
                     help="record a predictive-LL trajectory every E iters "
