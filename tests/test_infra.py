@@ -129,3 +129,23 @@ def test_grid_executor_consumes_gridspec(tmp_path):
     for p in outs:
         rec = json.loads(p.read_text())
         assert np.isfinite(rec["elbos"][-1]), p
+
+
+def test_checkpoint_scheduled_qem_state(tmp_path):
+    """The qem lr-schedule state ((stateP, stateQ), t) round-trips through
+    save/load_checkpoint and resumes bit-exactly."""
+    from alan_tpu.checkpointing import save_checkpoint, load_checkpoint
+    prob = m.tp.problem
+    step, state = train.qem(prob, 5, lr="0.1/t@2")
+    for i in range(3):
+        state, _ = step(state, jax.random.fold_in(jax.random.key(4), i))
+    p = str(tmp_path / "sched_ck")
+    save_checkpoint(p, state)
+    state2 = load_checkpoint(p)
+    assert float(state2[1]) == float(state[1]) == 3.0
+    s_a, _ = step(state, jax.random.key(5))
+    s_b, _ = step(state2, jax.random.key(5))
+    fa = jax.tree.map(np.asarray, jax.tree.leaves(s_a))
+    fb = jax.tree.map(np.asarray, jax.tree.leaves(s_b))
+    for a, b in zip(fa, fb):
+        assert np.array_equal(a, b)
