@@ -26,9 +26,17 @@ def logmmexp(A, B, allow_pallas=True):
         count_flops(matmul=2.0 * nb * i * k * j,
                     elementwise=2.0 * nb * (i * k + k * j) + 2.0 * nb * i * j)
     if allow_pallas and A.shape[-1] >= 128 and A.dtype == jnp.float32:
-        from .pallas_logmmexp import have_pallas_tpu, logmmexp_fused
-        if have_pallas_tpu():
-            return logmmexp_fused(A, B)
+        # VMEM guard: the kernel stages whole (M,K)/(K,N)/(M,N) blocks,
+        # double-buffered; refuse when that exceeds the ~16 MB budget (e.g.
+        # a 900x900 joint-chain operator needs 2*3*900^2*4B = 19 MB and
+        # fails Mosaic stack allocation) — the dense XLA path handles it.
+        M, Kd = A.shape[-2:]
+        Nn = B.shape[-1]
+        footprint = 2 * 4 * (M * Kd + Kd * Nn + M * Nn)
+        if footprint <= int(14e6):
+            from .pallas_logmmexp import have_pallas_tpu, logmmexp_fused
+            if have_pallas_tpu():
+                return logmmexp_fused(A, B)
     a_max = jax.lax.stop_gradient(jnp.max(A, axis=-1, keepdims=True))
     b_max = jax.lax.stop_gradient(jnp.max(B, axis=-2, keepdims=True))
     a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
