@@ -69,13 +69,20 @@ def _timed_scan_step(problem, K_, lr=0.1, n=N_STEPS):
         _, elbos = run(state0, key)
         float(np.asarray(elbos[-1]))
 
-    totals = {}
-    for N, run in ((n, run_short), (4 * n, run_long)):
-        t0 = time.perf_counter()
-        _, elbos = run(state0, key)
-        elbo = float(np.asarray(elbos[-1]))
-        totals[N] = time.perf_counter() - t0
-    dt = (totals[4 * n] - totals[n]) / (3 * n)
+    # best-of-3 slopes: host/tunnel stalls inflate individual totals
+    # (measured headline jitter 0.34-0.50 ms/step across runs); the minimum
+    # positive slope is the robust estimate
+    dts = []
+    for _ in range(3):
+        totals = {}
+        for N, run in ((n, run_short), (4 * n, run_long)):
+            t0 = time.perf_counter()
+            _, elbos = run(state0, key)
+            elbo = float(np.asarray(elbos[-1]))
+            totals[N] = time.perf_counter() - t0
+        dts.append((totals[4 * n] - totals[n]) / (3 * n))
+    pos = [d for d in dts if d > 0]
+    dt = min(pos) if pos else dts[-1]
 
     # FLOPs from the SINGLE-step program: XLA's cost analysis counts a
     # while/scan body once, so the fused multi-step scan would undercount
