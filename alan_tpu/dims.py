@@ -302,9 +302,14 @@ def pos_op(f, *xs) -> DT:
     for a in arrs:
         tgt = tuple(sizes) + a.shape[len(union):]
         full.append(jnp.broadcast_to(a, tgt))
-    flat = [a.reshape((-1,) + a.shape[len(union):]) for a in full]
-    out = jax.vmap(f)(*flat)
-    return DT(out.reshape(tuple(sizes) + out.shape[1:]), union)
+    # Nested vmaps over the intact named axes — NOT a flatten-to-one-axis
+    # reshape: merging a sharded plate axis into a flat batch axis is
+    # unrepresentable in GSPMD and forces a full-plate all-gather of both
+    # operands (measured 2x1.6 MB on the 8-device headline audit).
+    g = f
+    for _ in range(len(union)):
+        g = jax.vmap(g)
+    return DT(g(*full), union)
 
 
 def elementwise(f, *xs) -> DT:

@@ -34,8 +34,8 @@ _COLL_RE = re.compile(
     r"(-start)?\(")
 
 
-def _shape_bytes(shape_str: str) -> int:
-    total = 0
+def _shape_tokens(shape_str: str) -> list[int]:
+    out = []
     for m in re.finditer(r"([a-z0-9]+)\[([\d,]*)\]", shape_str):
         dt, dims = m.groups()
         if dt not in _DTYPE_BYTES:
@@ -44,19 +44,33 @@ def _shape_bytes(shape_str: str) -> int:
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dt]
-    return total
+        out.append(n * _DTYPE_BYTES[dt])
+    return out
+
+
+def _shape_bytes(shape_str: str, start: bool = False) -> int:
+    """Bytes a collective's RESULT carries.  Async ``*-start`` ops have a
+    tuple shape ``(operand(s), result(s)[, u32 contexts])`` — summing every
+    member double-counts the transfer; keep only the result half."""
+    tokens = _shape_tokens(shape_str)
+    if start and len(tokens) >= 2:
+        body = [t for t in tokens if t > 4]      # drop scalar u32 contexts
+        if len(body) % 2 == 0 and len(body) >= 2:
+            tokens = body[len(body) // 2:]       # (operands..., results...)
+        elif body:
+            tokens = body[1:]                    # fallback: drop operand
+    return sum(tokens)
 
 
 def collective_inventory(hlo_text: str) -> dict:
-    """Count collectives and the bytes each kind's outputs carry in a
+    """Count collectives and the bytes each kind's results carry in a
     post-SPMD HLO module text (``compiled.as_text()``)."""
     inv: dict[str, dict] = {}
     for m in _COLL_RE.finditer(hlo_text):
-        shape, kind, _ = m.groups()
+        shape, kind, start = m.groups()
         e = inv.setdefault(kind, {"count": 0, "bytes": 0})
         e["count"] += 1
-        e["bytes"] += _shape_bytes(shape)
+        e["bytes"] += _shape_bytes(shape, start=bool(start))
     return inv
 
 
@@ -94,29 +108,43 @@ _WIRE_FACTOR = {
 def predict_scaling(flops_per_step: float, inventory: dict, n_chips: int,
                     peak_flops: float = 1.97e14,
                     achieved_frac: float = 0.04,
-                    ici_bytes_per_s: float = 1.8e11) -> dict:
+                    ici_bytes_per_s: float = 1.8e11,
+                    step_time_s: float | None = None,
+                    mode: str = "strong",
+                    audited_chips: int | None = None) -> dict:
     """First-order comm-vs-compute efficiency at ``n_chips``.
 
-    t_comp = per-chip FLOPs / achieved FLOP rate, with compute split evenly
-    (the sharded dims carry the work).  t_comm = Σ wire-factor(kind)·bytes /
-    ICI bandwidth, holding per-collective payloads at their audited sizes
-    (first-order: payloads here are replicated-parameter reductions and K×K
-    boundary operators, whose sizes do not grow with the slice).
-    Efficiency = t_comp / (t_comp + t_comm) — the weak-scaling ratio against
-    a perfectly-linear step.
+    Compute time: ``step_time_s`` (the MEASURED single-chip step, preferred)
+    or FLOPs / (peak·achieved_frac).  ``mode``:
+
+    * ``"strong"`` — fixed problem, compute splits ``/ n_chips``; collective
+      payloads held at their audited sizes (replicated-parameter reductions
+      and already-materialized gathers don't shrink with the slice).
+    * ``"weak"`` — per-chip work held constant (K / data plates grow with the
+      slice — the BASELINE.md samples/s-per-chip regime): compute time
+      constant; all-gather / reduce-scatter / all-to-all payloads scale
+      ``n_chips / audited_chips`` (their results cover the total sharded
+      work), all-reduce payloads stay parameter-sized.
+
+    t_comm = Σ wire-factor(kind)·bytes / ICI bandwidth.  Efficiency =
+    t_comp / (t_comp + t_comm) vs a perfectly-linear step.
 
     Defaults are TPU v5e: 197 bf16 TFLOP/s peak; ICI ~45 GB/s per link ×4
-    links.  ``achieved_frac`` should be the measured single-chip MFU of the
-    same step so t_comp reflects reality, not peak.
+    links.
     """
-    t_comp = flops_per_step / n_chips / (peak_flops * achieved_frac)
+    t1 = (step_time_s if step_time_s is not None
+          else flops_per_step / (peak_flops * achieved_frac))
+    t_comp = t1 / n_chips if mode == "strong" else t1
     t_comm = 0.0
     for kind, e in inventory.items():
         factor = _WIRE_FACTOR.get(kind, lambda n: 1.0)(n_chips)
-        t_comm += factor * e["bytes"] / ici_bytes_per_s
+        b = e["bytes"]
+        if mode == "weak" and kind != "all-reduce" and audited_chips:
+            b *= n_chips / audited_chips
+        t_comm += factor * b / ici_bytes_per_s
     eff = t_comp / (t_comp + t_comm) if (t_comp + t_comm) > 0 else 1.0
     return {"n_chips": n_chips, "t_comp_s": t_comp, "t_comm_s": t_comm,
-            "efficiency": eff}
+            "efficiency": eff, "mode": mode}
 
 
 def scaling_report(flops_per_step: float, inventory: dict,

@@ -25,6 +25,17 @@ _PEAKS = [
     ("v2", 46e12),
 ]
 
+# device_kind substring -> per-chip HBM bandwidth (bytes/s), public specs
+_HBM_BW = [
+    ("v6", 1640e9),
+    ("v5p", 2765e9),
+    ("v5 lite", 819e9),
+    ("v5e", 819e9),
+    ("v4", 1228e9),
+    ("v3", 900e9),
+    ("v2", 700e9),
+]
+
 
 def peak_flops(device=None) -> float | None:
     """Published dense bf16 peak FLOP/s for the device, or None if unknown
@@ -36,6 +47,18 @@ def peak_flops(device=None) -> float | None:
     for sub, peak in _PEAKS:
         if sub in kind:
             return peak
+    return None
+
+
+def hbm_bandwidth(device=None) -> float | None:
+    """Published per-chip HBM bandwidth (bytes/s), or None if unknown."""
+    device = device if device is not None else jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    if "tpu" not in kind and device.platform != "tpu":
+        return None
+    for sub, bw in _HBM_BW:
+        if sub in kind:
+            return bw
     return None
 
 
@@ -166,6 +189,16 @@ def mfu_report(fn, args, step_time_s: float, steps_per_call: int = 1,
         # is HBM-bound and MFU is capped by bandwidth, not the MXU
         out["arithmetic_intensity"] = (cost["flops"]
                                        / max(cost["bytes_accessed"], 1.0))
+        # roofline: the bandwidth-bound step-time floor (every byte XLA's
+        # model says the program touches streamed once at peak HBM rate) and
+        # how far the measured step is above it
+        bw = hbm_bandwidth(device)
+        if bw:
+            out["hbm_bandwidth_bytes_per_s"] = bw
+            out["bandwidth_floor_s"] = out["bytes_per_step"] / bw
+            if step_time_s > 0:
+                out["vs_bandwidth_floor"] = (step_time_s
+                                             / out["bandwidth_floor_s"])
     peak = peak_flops(device)
     if peak:
         out["peak_flops_per_s"] = peak

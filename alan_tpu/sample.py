@@ -58,13 +58,26 @@ class Sample:
                              for i, v in enumerate(extra_log_factors.values())}
         extra_log_factors = tensordict2tree(self.P.plate, extra_log_factors)
 
+        # With an active MeshPlan, also pin the covariate/data layouts:
+        # constraining only the sampled particles leaves GSPMD free to
+        # replicate plate-sharded broadcasts against unannotated inputs
+        # (measured: a full-plate all-gather of the z*x product dominated
+        # the headline step's collective bytes, MULTICHIP_DETAIL r4).
+        from .parallel.mesh import active_plan
+        plan = active_plan()
+        inputs_params = self.problem.inputs_params(*self._states)
+        data = self.problem.data
+        if plan is not None:
+            inputs_params = plan.constrain_tree(inputs_params)
+            data = plan.constrain_tree(data)
+
         lp, _, _, _ = logPQ_plate(
             name=None,
             P=self.P.plate,
             Q=self.Q.plate,
             sample=sample,
-            inputs_params=self.problem.inputs_params(*self._states),
-            data=self.problem.data,
+            inputs_params=inputs_params,
+            data=data,
             extra_log_factors=extra_log_factors,
             scope={},
             active_platedims=[],

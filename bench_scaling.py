@@ -341,6 +341,88 @@ def _latent_sites(problem):
     return sites
 
 
+def _flat_qem_means(stateQ):
+    import jax.numpy as jnp
+    return jnp.concatenate([jnp.ravel(v.data)
+                            for _, v in sorted(stateQ["qem_means"].items())])
+
+
+def _gold_moments(problem, gold_K, gold_seeds, gold_iters, lr):
+    """Converged-Q gold moments (see time_to_moment_error docstring)."""
+    import jax.numpy as jnp
+    from alan_tpu import train
+    gold_step, gold_state0 = train.qem(problem, gold_K, lr=lr)
+    gold_read, _ = train.qem(problem, gold_K, lr=1.0)
+
+    @jax.jit
+    def gold_fn(key):
+        def one(k):
+            def body(s, i):
+                s2, _ = gold_step(s, jax.random.fold_in(k, i))
+                return s2, None
+            s, _ = jax.lax.scan(body, gold_state0, jnp.arange(gold_iters))
+            (_, sQ), _ = gold_read(s, jax.random.fold_in(k, gold_iters))
+            return _flat_qem_means(sQ)
+        return jnp.mean(jax.vmap(one)(jax.random.split(key, gold_seeds)), 0)
+
+    gold = gold_fn(jax.random.key(123))
+    return gold, jnp.mean(gold ** 2)
+
+
+def _tte_row(problem, K, gold, gold_norm, iters, lr):
+    """Error trajectory + timed step for one K; thresholds vs initial error."""
+    import jax.numpy as jnp
+    from alan_tpu import train
+    step, state0 = train.qem(problem, K, lr=lr)
+
+    @jax.jit
+    def traj(state, key):
+        def body(s, i):
+            s2, _ = step(s, jax.random.fold_in(key, i))
+            (_, sQ) = s2
+            err = jnp.mean((_flat_qem_means(sQ) - gold) ** 2) / gold_norm
+            return s2, err
+        _, errs = jax.lax.scan(body, state, jnp.arange(iters))
+        return errs
+
+    errs = np.asarray(traj(state0, jax.random.key(7)))
+    step_s, _ = time_step(step, state0, n=10)
+    err0 = float(errs[0])
+    out = {"K": K, "step_s": step_s, "err_iter1": err0,
+           "err_final": float(errs[-1]), "iters": iters,
+           "err_min_frac": float(np.min(errs) / err0),
+           "iters_to_min": int(np.argmin(errs)) + 1}
+    for frac in (0.3, 0.1, 0.03):
+        hit = np.nonzero(errs <= frac * err0)[0]
+        it = int(hit[0]) + 1 if hit.size else None
+        out[f"iters_to_{int(frac*100)}pct"] = it
+        out[f"time_to_{int(frac*100)}pct_s"] = (
+            it * step_s if it is not None else None)
+    return out
+
+
+def tte_by_K(Ks=(30, 100, 300), iters=300, lr=0.1, gold_K=500, gold_seeds=8,
+             gold_iters=250):
+    """Time-to-moment-error across K (VERDICT r3 #7: the finite-K proposal
+    bias floor should drop with K, taking the BASELINE 3% row non-null at
+    some K — the claim that makes the MP method interesting).  One shared
+    high-K converged-Q gold; per-K error trajectories against it.
+
+    Reference machinery analog: moments-vs-K sweeps in
+    ``examples/moments_paper_plots/moments_paper_plots.py:47-116``."""
+    import movielens
+    with jax.default_device(jax.devices("cpu")[0]):
+        problem, *_ = movielens.load_and_generate_problem(
+            key=jax.random.key(0), Q_param_type="qem")
+    gold, gold_norm = _gold_moments(problem, gold_K, gold_seeds, gold_iters,
+                                    lr)
+    out = {"gold_K": gold_K, "gold_seeds": gold_seeds, "lr": lr}
+    for K in Ks:
+        out[f"K{K}"] = _tte_row(problem, K, gold, gold_norm, iters, lr)
+        print(f"K={K}:", json.dumps(out[f"K{K}"]), flush=True)
+    return out
+
+
 def time_to_moment_error(K=30, iters=300, lr=0.1, gold_K=100, gold_seeds=8,
                          gold_iters=250):
     """Time-to-moment-error, the second half of the BASELINE.md headline
@@ -356,74 +438,21 @@ def time_to_moment_error(K=30, iters=300, lr=0.1, gold_K=100, gold_seeds=8,
     averaged over ``gold_seeds`` independent seeds.  Error(t) = MSE over all
     sufficient-stat coordinates, normalised by the gold second moment;
     reported are the wall-clock times to reach 30%/10%/3% of the
-    *initial* error (the error after one step from init).
+    *initial* error (the error after one step from init).  The fixed-lr EMA
+    noise floor shows up as ``err_min_frac``: thresholds below it are null,
+    honestly, rather than read off noise (see ``tte_by_K`` for the floor
+    dropping with K).
     """
-    import jax.numpy as jnp
     import movielens
-    from alan_tpu import train
-
     with jax.default_device(jax.devices("cpu")[0]):
         problem, *_ = movielens.load_and_generate_problem(
             key=jax.random.key(0), Q_param_type="qem")
-
-    def flat_means(stateQ):
-        return jnp.concatenate([jnp.ravel(v.data)
-                                for _, v in sorted(stateQ["qem_means"].items())])
-
-    gold_step, gold_state0 = train.qem(problem, gold_K, lr=lr)
-    gold_read, _ = train.qem(problem, gold_K, lr=1.0)
-
-    @jax.jit
-    def gold_fn(key):
-        def one(k):
-            def body(s, i):
-                s2, _ = gold_step(s, jax.random.fold_in(k, i))
-                return s2, None
-            s, _ = jax.lax.scan(body, gold_state0, jnp.arange(gold_iters))
-            (_, sQ), _ = gold_read(s, jax.random.fold_in(k, gold_iters))
-            return flat_means(sQ)
-        return jnp.mean(jax.vmap(one)(jax.random.split(key, gold_seeds)), 0)
-
-    gold = gold_fn(jax.random.key(123))
-    gold_norm = jnp.mean(gold ** 2)
-
-    # trajectory: scan of the K=30 QEM step, emitting the moment estimate
-    step, state0 = train.qem(problem, K, lr=lr)
-
-    @jax.jit
-    def traj(state, key):
-        def body(s, i):
-            s2, _ = step(s, jax.random.fold_in(key, i))
-            (_, sQ) = s2
-            err = jnp.mean((flat_means(sQ) - gold) ** 2) / gold_norm
-            return s2, err
-        _, errs = jax.lax.scan(body, state, jnp.arange(iters))
-        return errs
-
-    errs = np.asarray(traj(state0, jax.random.key(7)))
-
-    # wall-clock per step from the timed bare step (slope method)
-    step_s, _ = time_step(step, state0, n=10)
-
-    err0 = float(errs[0])
-    out = {"step_s": step_s, "err_iter1": err0,
-           "err_final": float(errs[-1]), "iters": iters,
-           "gold_K": gold_K, "gold_seeds": gold_seeds,
-           # the fixed-lr EMA noise floor: minimum relative error along the
-           # trajectory and when it is reached (3% of initial error sits
-           # below this floor at K=30/lr=0.1 — time_to_3pct is then null,
-           # honestly, rather than a number read off noise)
-           "err_min_frac": float(np.min(errs) / err0),
-           "iters_to_min": int(np.argmin(errs)) + 1}
-    for frac in (0.3, 0.1, 0.03):
-        hit = np.nonzero(errs <= frac * err0)[0]
-        it = int(hit[0]) + 1 if hit.size else None
-        out[f"iters_to_{int(frac*100)}pct"] = it
-        out[f"time_to_{int(frac*100)}pct_s"] = (
-            it * step_s if it is not None else None)
+    gold, gold_norm = _gold_moments(problem, gold_K, gold_seeds, gold_iters,
+                                    lr)
+    out = _tte_row(problem, K, gold, gold_norm, iters, lr)
+    out.update(gold_K=gold_K, gold_seeds=gold_seeds)
     print(json.dumps(out, indent=1), flush=True)
     return out
-
 
 def main():
     ap = argparse.ArgumentParser()
@@ -431,6 +460,9 @@ def main():
     ap.add_argument("--grid", action="store_true")
     ap.add_argument("--models", action="store_true")
     ap.add_argument("--tte", action="store_true")
+    ap.add_argument("--tte-by-k", action="store_true",
+                    help="TTE at K=30/100/300 vs a shared high-K gold "
+                         "(the finite-K error floor dropping with K)")
     ap.add_argument("--pod", action="store_true",
                     help="weak-scaling + collective breakdown on all devices")
     args = ap.parse_args()
@@ -444,6 +476,8 @@ def main():
         result = {"canonical_models_K30": canonical_models()}
     elif args.tte:
         result = {"time_to_moment_error_movielens_K30": time_to_moment_error()}
+    elif args.tte_by_k:
+        result = {"tte_by_K": tte_by_K()}
     else:
         result = {"k_sweep": k_sweep()}
     path = "BENCH_DETAIL.json"

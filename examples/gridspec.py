@@ -77,11 +77,25 @@ def expand(spec: dict) -> list[list[str]]:
     out = []
     for job in spec["jobs"]:
         cfg = {**defaults, **job}
-        methods = cfg.pop("methods", None) or [cfg.pop("method", "qem")]
+        # an axis form shadows its scalar counterpart: a scalar left in cfg
+        # would be re-emitted in the passthrough loop below, and argparse
+        # last-wins would silently override every axis value
+        methods = cfg.pop("methods", None)
+        if methods is not None:
+            cfg.pop("method", None)
+        else:
+            methods = [cfg.pop("method", "qem")]
         ks_lrs = cfg.pop("Ks_lrs", None)
-        if ks_lrs is None:
+        if ks_lrs is not None:
+            cfg.pop("K", None)
+            cfg.pop("lr", None)
+        else:
             ks_lrs = {cfg.pop("K", 30): [cfg.pop("lr", None)]}
-        seeds = cfg.pop("seeds", None) or [cfg.pop("seed", 0)]
+        seeds = cfg.pop("seeds", None)
+        if seeds is not None:
+            cfg.pop("seed", None)
+        else:
+            seeds = [cfg.pop("seed", 0)]
         out_dir = cfg.pop("out_dir", None)
         explicit_out = cfg.pop("out", None)
 

@@ -247,10 +247,29 @@ def main():
     if args.grid:
         import gridspec
         spec = gridspec.load_spec(args.grid)
-        for i, argv in enumerate(gridspec.expand(spec)):
+        jobs = [ap.parse_args(argv) for argv in gridspec.expand(spec)]
+        # platform/devices must be applied BEFORE the first jax use and
+        # cannot change mid-process: honor a single consistent setting
+        # across the grid, reject mixed requests loudly.
+        platforms = {j.platform for j in jobs if j.platform}
+        devicess = {j.devices for j in jobs if j.devices}
+        if len(platforms) > 1 or len(devicess) > 1:
+            ap.error(f"--grid jobs request conflicting platform/devices "
+                     f"(platforms={sorted(platforms)}, "
+                     f"devices={sorted(devicess)}); these are process-wide "
+                     f"in-process — run mixed specs through alan-grid "
+                     f"(one process per job) instead")
+        if devicess:
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count="
+                    f"{devicess.pop()}").strip()
+        if platforms:
+            jax.config.update("jax_platforms", platforms.pop())
+        for i, (argv, sub) in enumerate(zip(gridspec.expand(spec), jobs)):
             print(f"[grid {i + 1}] runner.py " + " ".join(argv),
                   file=sys.stderr)
-            sub = ap.parse_args(argv)
             split_ = (sub.split[0], int(sub.split[1])) if sub.split else None
             run(sub.model, sub.method, sub.K, sub.iters, sub.lr,
                 sub.predll_N, sub.Q_param_type, split_, sub.seed, sub.out,

@@ -47,7 +47,10 @@ def slope_time(f, *args, n=10, reps=3):
         last = (totals[4 * n] - totals[n]) / (3 * n)
         if last > 0 and (best is None or last < best):
             best = last
-    return best if best is not None else last
+    if best is None:
+        # never record a negative time (VERDICT r3 weak #1)
+        raise RuntimeError("all slopes non-positive (tunnel stall); re-run")
+    return best
 
 
 def device_loop_time(f, args, m=8):

@@ -27,24 +27,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import numpy as np
 
 
-def timed_scan_step(problem, K, lr=0.1, n=20):
-    """Per-step time via the fetch-ended m-vs-4m scan slope (CLAUDE.md:
-    the only tunnel-robust timing)."""
-    from alan_tpu import train
-    step, state0 = train.qem(problem, K, lr=lr)
-    key = jax.random.key(7)
-    run_short = train.scan_steps(step, n)
-    run_long = train.scan_steps(step, 4 * n)
-    for run in (run_short, run_long):
-        _, elbos = run(state0, key)
-        float(np.asarray(elbos[-1]))
-    totals = {}
-    for N, run in ((n, run_short), (4 * n, run_long)):
-        t0 = time.perf_counter()
-        _, elbos = run(state0, key)
-        elbo = float(np.asarray(elbos[-1]))
-        totals[N] = time.perf_counter() - t0
-    return (totals[4 * n] - totals[n]) / (3 * n), elbo
+from _timing import timed_scan_step  # best-of-3 positive-only slopes
 
 
 def load(name):
