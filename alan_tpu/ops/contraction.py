@@ -49,6 +49,16 @@ def pairwise_logsumexp_contract(a, b, Ks) -> DT:
     i_dims = [d for d in a.dims if d not in b.dims and d not in Kab]
     j_dims = [d for d in b.dims if d not in a.dims and d not in Kab]
 
+    # The batch block is collapsed to ONE axis below; a reshape that merges
+    # a SHARDED dim anywhere but majormost is unrepresentable in GSPMD and
+    # forces a full all-gather of the operand (measured: an 85 MB gather of
+    # the covid chain operator per step with the T axis mesh-mapped).  Put
+    # mesh-mapped dims first so the flat axis inherits their sharding.
+    from ..parallel.mesh import active_plan
+    plan = active_plan()
+    if plan is not None and len(batch) > 1:
+        batch.sort(key=lambda d: plan._axis_for(d) is None)
+
     # raw arrays, named order (batch, i/j, k)
     a_o = a.with_dims_front([*batch, *i_dims, *Kab])
     b_o = b.with_dims_front([*batch, *j_dims, *Kab])

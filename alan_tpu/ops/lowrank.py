@@ -189,6 +189,21 @@ def _as_smf(t: DT, shared, row_dims, sizes, pos):
     return a.reshape(S, R, -1)
 
 
+def _shard_major(shared):
+    """Order shared (batch) dims with mesh-mapped dims first: downstream
+    the shared block is reshape-merged into one flat batch axis, and GSPMD
+    can only keep the merged axis sharded when the sharded dim is majormost
+    (a minor-position sharded dim forces a full all-gather of the operand —
+    measured 85 MB/step on T-sharded covid)."""
+    from ..parallel.mesh import active_plan
+    shared = tuple(shared)
+    plan = active_plan()
+    if plan is not None and len(shared) > 1:
+        shared = tuple(sorted(shared,
+                              key=lambda d: plan._axis_for(d) is None))
+    return shared
+
+
 def lowrank_logprob(family_name, x, params) -> DT:
     """``sum_pos(family(params).log_prob(x))`` over the cross product of
     x-dims and param-dims, via a batched MXU contraction.  Returns a DT with
@@ -200,7 +215,8 @@ def lowrank_logprob(family_name, x, params) -> DT:
     union = tuple(unify_dims([x, *pvals.values()]))
     x_only = tuple(d for d in x.dims if d not in arg_dims)
     p_only = tuple(d for d in arg_dims if d not in x.dims)
-    shared = tuple(d for d in union if d not in x_only and d not in p_only)
+    shared = _shard_major(
+        d for d in union if d not in x_only and d not in p_only)
     sizes = dimsizes_of(x, *pvals.values())
     pos = jnp.broadcast_shapes(x.pos_shape,
                                *[v.pos_shape for v in pvals.values()])
@@ -481,7 +497,8 @@ def lowrank_logprob_lazy(family_name, x, params) -> LowRankDT:
     union = tuple(unify_dims([x, *pvals.values()]))
     x_only = tuple(d for d in x.dims if d not in arg_dims)
     p_only = tuple(d for d in arg_dims if d not in x.dims)
-    shared = tuple(d for d in union if d not in x_only and d not in p_only)
+    shared = _shard_major(
+        d for d in union if d not in x_only and d not in p_only)
     sizes = dimsizes_of(x, *pvals.values())
     pos = jnp.broadcast_shapes(x.pos_shape,
                                *[v.pos_shape for v in pvals.values()])

@@ -234,8 +234,10 @@ def chain_logmmexp_lanes(ms, interpret=False):
     entirely in the batch-in-lanes layout (one transpose in, one out).
 
     Semantically identical to ``ops.logmmexp.chain_logmmexp``: same pairwise
-    tree, same shift/tiny numerics (differences are FMA/vectorisation noise,
-    ~1e-7 relative).
+    tree, same shift/tiny numerics; differences are FMA/vectorisation
+    noise — measured 7.8e-5 max relative on the full covid shape
+    (B=2760, T=137, K=30; one covid QEM step's ELBO matches the dense path
+    exactly — ``results/covid_chain_kernel_verify.json``).
     """
     *batch, T, K, K2 = ms.shape
     assert K == K2

@@ -56,35 +56,50 @@ def kernel_direct(B=2760, T=137, K=30, scale=40.0, offset=-60.0, seed=0):
     from alan_tpu.ops.logmmexp import chain_logmmexp
     from alan_tpu.ops.pallas_smallk import chain_logmmexp_lanes
 
-    key = jax.random.key(seed)
-    k1, k2 = jax.random.split(key)
-    with jax.default_device(jax.devices("cpu")[0]):
-        ms = (scale * jax.random.normal(k1, (B, T, K, K))
-              + offset
-              + 30.0 * jax.random.normal(k2, (B, T, 1, 1)))  # row shifts
-        ms = jnp.asarray(ms, jnp.float32)
-    ms = jax.device_put(ms, jax.devices()[0])
+    # generate ON the TPU: a 1.4 GB host array would crawl through the
+    # remote-device tunnel for an hour
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        return jnp.asarray(
+            scale * jax.random.normal(k1, (B, T, K, K))
+            + offset
+            + 30.0 * jax.random.normal(k2, (B, T, 1, 1)),   # row shifts
+            jnp.float32)
+    ms = gen(jax.random.key(seed))
+    jax.block_until_ready(ms)
 
-    f_lanes = jax.jit(lambda x: chain_logmmexp_lanes(x))
-    f_dense = jax.jit(_dense_chain)
-    out_l = np.asarray(f_lanes(ms))
-    out_d = np.asarray(f_dense(ms))
-    denom = np.maximum(np.abs(out_d), 1.0)
-    fwd_rel = float(np.max(np.abs(out_l - out_d) / denom))
+    # errors computed ON device (a 340 MB gradient fetch would crawl
+    # through the tunnel); only scalars come back
+    @jax.jit
+    def fwd_err(x):
+        out_l = chain_logmmexp_lanes(x)
+        out_d = _dense_chain(x)
+        return jnp.max(jnp.abs(out_l - out_d)
+                       / jnp.maximum(jnp.abs(out_d), 1.0))
+    fwd_rel = float(fwd_err(ms))
 
     # grad at B=690 (one covid region-block): the DENSE path's backward
     # stores every tree level and OOMs v5e HBM at the full B=2760 — itself
     # evidence for the lanes kernel, whose custom VJP recomputes.
     Bg = min(B, 690)
-    msg = ms[:Bg]
-    g_lanes = jax.jit(jax.grad(lambda x: jnp.sum(chain_logmmexp_lanes(x))))
-    g_dense = jax.jit(jax.grad(lambda x: jnp.sum(_dense_chain(x))))
-    gl = np.asarray(g_lanes(msg))
-    gd = np.asarray(g_dense(msg))
-    gdenom = max(float(np.max(np.abs(gd))), 1e-30)
-    grad_rel = float(np.max(np.abs(gl - gd)) / gdenom)
+
+    @jax.jit
+    def grad_err(x):
+        gl = jax.grad(lambda y: jnp.sum(chain_logmmexp_lanes(y)))(x)
+        gd = jax.grad(lambda y: jnp.sum(_dense_chain(y)))(x)
+        fin = jnp.isfinite(gl) & jnp.isfinite(gd)
+        diff = jnp.where(fin, jnp.abs(gl - gd), 0.0)
+        return (jnp.max(diff),
+                jnp.maximum(jnp.max(jnp.where(fin, jnp.abs(gd), 0.0)),
+                            1e-30),
+                jnp.mean(jnp.isfinite(gl)), jnp.mean(jnp.isfinite(gd)))
+    d, dmax, fin_l, fin_d = grad_err(ms[:Bg])
     return {"B": B, "T": T, "K": K, "grad_B": Bg,
-            "fwd_max_rel_err": fwd_rel, "grad_max_rel_err_vs_maxgrad": grad_rel}
+            "fwd_max_rel_err": fwd_rel,
+            "grad_max_rel_err_vs_maxgrad": float(d) / float(dmax),
+            "grad_finite_frac_lanes": float(fin_l),
+            "grad_finite_frac_dense": float(fin_d)}
 
 
 def _covid_problem():

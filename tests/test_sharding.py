@@ -276,6 +276,25 @@ def test_sequence_sharded_ring_matches():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sequence_sharded_butterfly_bitexact():
+    """The recursive-doubling compose pairs blocks exactly like the balanced
+    pairwise tree, so with a power-of-two local T it is BIT-exact vs the
+    single-chip chain (and it is the default for power-of-two meshes)."""
+    import jax.numpy as jnp
+    from alan_tpu.ops.logmmexp import chain_logmmexp
+    from alan_tpu.parallel.seq import chain_logmmexp_sharded
+
+    rng = np.random.default_rng(6)
+    ms = jnp.asarray(rng.standard_normal((3, 32, 8, 8)) * 4 - 2, jnp.float32)
+    ref = chain_logmmexp(ms)
+    mesh = make_mesh({"t": 8})
+    out_b = chain_logmmexp_sharded(ms, mesh, "t", method="butterfly")
+    out_auto = chain_logmmexp_sharded(ms, mesh, "t")
+    assert np.array_equal(np.asarray(ref), np.asarray(out_b))
+    assert np.array_equal(np.asarray(out_b), np.asarray(out_auto))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_collective_inventory_and_scaling_model():
     """The compiled sharded step carries the expected collectives (and the
     unsharded step carries none); the audited byte counts feed the

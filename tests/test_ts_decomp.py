@@ -84,14 +84,19 @@ def test_ffbs_conditional_route_moments(monkeypatch):
         cj = as_dt(is_joint._moments(varnames, m))
         cc = as_dt(is_cond._moments(varnames, m))
         # joint path: unbiased, 6·stderr vs marginals; conditional path:
-        # approximate, allow bias up to 8·stderr of the same scale
+        # approximate — the measured error curve vs coupling strength
+        # (results/ffbs_coupling_sweep.json, obs = ts1 + c·ts2 for
+        # c ∈ {0.1..1.0} against the analytic Kalman posterior) shows its
+        # bias indistinguishable from the joint smoother's MC error at
+        # every coupling (z ≤ 1.5), so the absolute floor is 0.01, not the
+        # old hand-set 0.02
         dj = np.abs(cj.order(*cj.dims).data
                     - mm.with_dims_front(cj.dims).order(*cj.dims).data)
         dc = np.abs(cc.order(*cc.dims).data
                     - mm.with_dims_front(cc.dims).order(*cc.dims).data)
         s = stderr.with_dims_front(cj.dims).order(*cj.dims).data
         assert np.all(dj < 6 * s), (dj, s)
-        assert np.all(dc < 8 * np.maximum(s, 0.02)), (dc, s)
+        assert np.all(dc < 8 * np.maximum(s, 0.01)), (dc, s)
 
 
 def _nonts_k_problem():
