@@ -36,9 +36,13 @@ def load():
             continue
         sampler, model = m.group(1), m.group(2)
         d = json.load(open(path))
-        for latent, mse in d.get("moment_mse", {}).items():
+        mses = d.get("moment_mse") or {
+            # covid cross-check schema (scripts/moments_vs_hmc_covid.py)
+            name: v["mse"] for name, v in d.get("variables", {}).items()}
+        for latent, mse in mses.items():
             rows.append((model, latent, sampler, mse,
-                         d.get("hmc_time_s"), d.get("mp_time_s")))
+                         d.get("hmc_time_s") or d.get("gold_time_s"),
+                         d.get("mp_time_s")))
     return rows
 
 
