@@ -176,6 +176,26 @@ jobs:
         gridspec.load_spec(str(bad))
 
 
+def test_gridspec_axis_shadows_scalar_default():
+    """A scalar lr/K/method/seed in defaults must not be re-emitted when a
+    job uses the axis form: argparse last-wins would silently override
+    every axis value (ADVICE r3)."""
+    import gridspec
+    spec = {"defaults": {"lr": 0.9, "K": 99, "method": "vi", "seed": 7,
+                         "iters": 3},
+            "jobs": [{"model": "movielens", "methods": ["qem", "rws"],
+                      "Ks_lrs": {30: [0.1, 0.05]}, "seeds": [0, 1]}]}
+    jobs = gridspec.expand(spec)
+    assert len(jobs) == 8
+    for argv in jobs:
+        for flag in ("--lr", "--K", "--method", "--seed"):
+            assert argv.count(flag) == 1, (flag, argv)
+        assert argv[argv.index("--K") + 1] == "30"
+        assert argv[argv.index("--lr") + 1] in ("0.1", "0.05")
+        assert argv[argv.index("--method") + 1] in ("qem", "rws")
+        assert argv[argv.index("--seed") + 1] in ("0", "1")
+
+
 def test_runner_grid_mode(tmp_path):
     """`runner.py --grid spec.yaml` runs every expanded job in-process."""
     spec = tmp_path / "g.yaml"
