@@ -189,6 +189,20 @@ def _as_smf(t: DT, shared, row_dims, sizes, pos):
     return a.reshape(S, R, -1)
 
 
+def _dot_precision():
+    """MXU precision for the factored log-density dots.
+
+    HIGHEST (default) = bf16x6 passes — full f32-equivalent accuracy at a
+    6x pass-count ceiling penalty on the MXU.  ``ALAN_TPU_LOWRANK_PRECISION
+    = high`` selects bf16x3 (~2x the dot throughput, ~1e-6 relative error
+    on these log-density magnitudes), ``default`` selects single-pass bf16
+    (fastest, ~1e-3 — for throughput experiments only).
+    """
+    import os
+    name = os.environ.get("ALAN_TPU_LOWRANK_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name)
+
+
 def _shard_major(shared):
     """Order shared (batch) dims with mesh-mapped dims first: downstream
     the shared block is reshape-merged into one flat batch axis, and GSPMD
@@ -234,7 +248,7 @@ def lowrank_logprob(family_name, x, params) -> DT:
     out = jax.lax.dot_general(
         U, V, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)              # (S, X, P)
+        precision=_dot_precision())                       # (S, X, P)
     out_dims = shared + x_only + p_only
     out = out.reshape(tuple(sizes[d] for d in out_dims))
     res = DT(out, out_dims)
@@ -398,7 +412,7 @@ class LowRankDT:
             u.data.reshape(S, X, -1), v.data.reshape(S, P, -1),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=_dot_precision())
         out_dims = self.shared + self.x_dims + self.p_dims
         res = DT(out.reshape(tuple(sizes[d] for d in out_dims)), out_dims)
         if self.x_side is not None:

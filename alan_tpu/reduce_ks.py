@@ -120,14 +120,15 @@ def logsumexp_sum(Ks_to_sum, *lps) -> DT:
         k_size = math.prod(a.dim_size(k) for k in shared) if shared else 0
         # The matmul reformulation needs the step to actually fill MXU
         # passes.  Two admissible shapes: (a) both free sides non-trivial
-        # (a real [m,k]@[k,n] batched matmul — bus_breakdown's m=n=K step
-        # is 7.9x faster on the MXU); (b) a matvec (n≈1) whose per-batch
-        # matrix m·k is large enough that each pass still streams real work
-        # (grouped movielens' [K_g,K_z]@[K_z,1] at K≥300).  A tiny matvec
-        # with a huge batch count — occupancy's hot K_z step, [30,30]@[30,1]
-        # x432000 — runs the 128-lane tiles near-empty and measured 2x
-        # SLOWER end-to-end than the VPU broadcast-add path
-        # (results/mxu_contract_bench.json).
+        # (a real [m,k]@[k,n] batched matmul — routing bus_breakdown's
+        # m=n=K steps to the MXU wins 1.32x on the END-TO-END QEM step,
+        # median-slope measured, results/mxu_contract_bench.json); (b) a
+        # matvec (n≈1) whose per-batch matrix m·k is large enough that each
+        # pass still streams real work (grouped movielens' [K_g,K_z]@[K_z,1]
+        # at K≥300).  A tiny matvec with a huge batch count — occupancy's
+        # hot K_z step, [30,30]@[30,1] x432k — runs the 128-lane tiles
+        # near-empty; the shape gate keeps it on the VPU broadcast-add path
+        # (both routes now coincide there: speedup 1.002x in the record).
         set_ks = set(Ks_to_sum)
         m_size = math.prod([a.dim_size(d) for d in a.dims
                             if d not in b.dims and d not in set_ks] or [1])
