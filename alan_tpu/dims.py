@@ -296,20 +296,29 @@ def pos_op(f, *xs) -> DT:
     dts = [as_dt(x) for x in xs]
     if not any(x.dims for x in dts):
         return DT(f(*[x.data for x in dts]), ())
+    # Two regimes (trace-time choice):
+    # * no MeshPlan active — flatten the named dims to ONE batch axis
+    #   (single-batch-dim dots tile best on the MXU);
+    # * MeshPlan active — nested vmaps over the INTACT axes: a reshape
+    #   merging sharded dims (K on "k", plate on "p") is unrepresentable
+    #   in GSPMD and forces full-plate all-gathers of both operands
+    #   (measured 2x1.6 MB/step on the 8-device headline audit).
+    from .parallel.mesh import active_plan
+    plan = active_plan()
     arrs, union = align(*dts)
     sizes = [max(a.shape[i] for a in arrs) for i in range(len(union))]
     full = []
     for a in arrs:
         tgt = tuple(sizes) + a.shape[len(union):]
         full.append(jnp.broadcast_to(a, tgt))
-    # Nested vmaps over the intact named axes — NOT a flatten-to-one-axis
-    # reshape: merging a sharded plate axis into a flat batch axis is
-    # unrepresentable in GSPMD and forces a full-plate all-gather of both
-    # operands (measured 2x1.6 MB on the 8-device headline audit).
-    g = f
-    for _ in range(len(union)):
-        g = jax.vmap(g)
-    return DT(g(*full), union)
+    if plan is not None:
+        g = f
+        for _ in range(len(union)):
+            g = jax.vmap(g)
+        return DT(g(*full), union)
+    flat = [a.reshape((-1,) + a.shape[len(union):]) for a in full]
+    out = jax.vmap(f)(*flat)
+    return DT(out.reshape(tuple(sizes) + out.shape[1:]), union)
 
 
 def elementwise(f, *xs) -> DT:
