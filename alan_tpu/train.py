@@ -313,7 +313,7 @@ def global_qem(problem, K: int, lr=0.1, **_):
     return step, state0
 
 
-def scan_steps(step, n_steps: int, unroll: int = 1):
+def scan_steps(step, n_steps: int, unroll: int = 4):
     """Fuse ``n_steps`` training steps into ONE XLA program via ``lax.scan``.
 
     ``step(state, key) -> (state, elbo)`` (any factory's output) becomes
@@ -324,14 +324,21 @@ def scan_steps(step, n_steps: int, unroll: int = 1):
     (``examples/runner.py:178-187``) cannot express: a whole training segment
     compiles to a single device program, so per-step host dispatch (dominant
     at small K — the MovieLens K=30 step computes in ~0.3 ms) disappears
-    entirely, and XLA can overlap/pipeline across iterations."""
+    entirely, and XLA can overlap/pipeline across iterations.
+
+    ``unroll=4`` (default): the small-step regime is while-loop-overhead
+    bound — unrolling 4 step bodies per loop iteration measured 1.67x on
+    the movielens K=30 headline loop (341 -> 204 us/step; 8 was worse,
+    results/scan_unroll_bench.json).  n_steps not divisible by unroll
+    falls back to the exact remainder handling inside lax.scan."""
     inner = getattr(step, "__wrapped__", step)  # avoid jit-within-jit retrace
 
     @jax.jit
     def run(state, key):
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(n_steps))
-        state, elbos = jax.lax.scan(inner, state, keys, unroll=unroll)
+        state, elbos = jax.lax.scan(inner, state, keys,
+                                    unroll=min(unroll, n_steps))
         return state, elbos
 
     return run

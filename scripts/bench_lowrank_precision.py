@@ -29,6 +29,12 @@ K = 1000
 
 
 def main():
+    # latch the PALLAS kernel's own precision mode (read at module import,
+    # default bf16x3) BEFORE touching the env var — otherwise the first
+    # env setting leaks into the kernel, whose bf16x6 variant overflows
+    # scoped VMEM at (P=300, I=1000, F=36).  This script probes the XLA
+    # (non-fused) dots only.
+    import alan_tpu.ops.pallas_lowrank  # noqa: F401
     from bench_scaling import _grouped_movielens
     from alan_tpu import train
 
@@ -42,8 +48,12 @@ def main():
         try:
             step, state0 = train.qem(problem, K, lr=0.1)
             # single evaluation on a FIXED key for the accuracy comparison
-            _, elbo1 = step(state0, jax.random.key(42))
-            elbos[mode] = float(elbo1)
+            # (via a 1-step scan: the BARE jitted step picks operand
+            # layouts under which the fused lowrank kernel's stack
+            # allocation exceeds scoped VMEM and the backend refuses to
+            # compile — the scanned form is also what every real run uses)
+            _, elbo1 = train.scan_steps(step, 1)(state0, jax.random.key(42))
+            elbos[mode] = float(elbo1[-1])
             dt, _ = robust_scan_slope(step, state0, n=5)
         finally:
             del os.environ["ALAN_TPU_LOWRANK_PRECISION"]
