@@ -363,7 +363,12 @@ def _gold_moments(problem, gold_K, gold_seeds, gold_iters, lr):
             s, _ = jax.lax.scan(body, gold_state0, jnp.arange(gold_iters))
             (_, sQ), _ = gold_read(s, jax.random.fold_in(k, gold_iters))
             return _flat_qem_means(sQ)
-        return jnp.mean(jax.vmap(one)(jax.random.split(key, gold_seeds)), 0)
+        # sequential over seeds (lax.map, body compiled once): vmapping all
+        # seeds multiplies the cross-K factor tensors by gold_seeds and at
+        # K>=300 the backend compiler aborts on a >2^31-byte reshape
+        # (jellyfish windowing_util CouldLeS32 check)
+        return jnp.mean(jax.lax.map(one, jax.random.split(key, gold_seeds)),
+                        0)
 
     gold = gold_fn(jax.random.key(123))
     return gold, jnp.mean(gold ** 2)
@@ -401,22 +406,29 @@ def _tte_row(problem, K, gold, gold_norm, iters, lr):
     return out
 
 
-def tte_by_K(Ks=(30, 100, 300), iters=300, lr=0.1, gold_K=500, gold_seeds=8,
-             gold_iters=250):
+def tte_by_K(Ks=(30, 100, 300), iters=300, lr=0.1, gold_K=1000,
+             gold_seeds=8, gold_iters=250):
     """Time-to-moment-error across K (VERDICT r3 #7: the finite-K proposal
     bias floor should drop with K, taking the BASELINE 3% row non-null at
     some K — the claim that makes the MP method interesting).  One shared
     high-K converged-Q gold; per-K error trajectories against it.
 
+    Uses the GROUPED movielens (mu_z/psi_z share one K-dim): the ungrouped
+    model's z-factor carries THREE parent K-dims, so K=300 means a
+    300x500^3-class K^3 tensor (~100 GB) no backend can hold — the exact
+    blowup the reference's Group exists to avoid (``Group.py:13-45``).
+    Grouped, the factor is K^2 and K=1000 is measured at 8.3 ms/step, so
+    the gold runs at K=1000 with seeds sequential (``lax.map``; vmapping
+    seeds at K>=300 also dies on a >2^31-byte reshape in the backend).
+
     Reference machinery analog: moments-vs-K sweeps in
     ``examples/moments_paper_plots/moments_paper_plots.py:47-116``."""
-    import movielens
     with jax.default_device(jax.devices("cpu")[0]):
-        problem, *_ = movielens.load_and_generate_problem(
-            key=jax.random.key(0), Q_param_type="qem")
+        problem = _grouped_movielens()
     gold, gold_norm = _gold_moments(problem, gold_K, gold_seeds, gold_iters,
                                     lr)
-    out = {"gold_K": gold_K, "gold_seeds": gold_seeds, "lr": lr}
+    out = {"model": "grouped_movielens", "gold_K": gold_K,
+           "gold_seeds": gold_seeds, "lr": lr}
     for K in Ks:
         out[f"K{K}"] = _tte_row(problem, K, gold, gold_norm, iters, lr)
         print(f"K={K}:", json.dumps(out[f"K{K}"]), flush=True)
