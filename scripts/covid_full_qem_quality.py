@@ -46,7 +46,7 @@ import numpy as np
 
 K = 30
 SEG = 50
-N_SEGS = 6
+N_SEGS = 12
 LR = "0.1/t@100"
 
 
@@ -160,7 +160,7 @@ def main():
     out = {"model": "covid full 92x109 (realistic synthetic counts + known generating log_infected/psi)",
            "K": K, "lr": LR, "iters_total": SEG * N_SEGS}
     flats = {}
-    for seed in (0, 1):
+    for seed in (0, 1, 2):
         rec = run_seed(seed)
         flats[seed] = np.asarray(rec.pop("final_flat_means"))
         out[f"seed{seed}"] = rec
