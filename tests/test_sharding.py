@@ -368,3 +368,31 @@ def test_split_meshplan_composition():
         a = np.asarray(sQ0["qem_params"][k].data)
         b = np.asarray(sQ1["qem_params"][k].data)
         assert np.allclose(a, b, rtol=1e-3, atol=1e-4), k
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_no_fullplate_gather_in_headline_compile():
+    """Regression guard for the GSPMD merge-gather class (round 4): a
+    reshape merging a sharded dim in non-major position silently inserts a
+    full-plate all-gather.  The 8-device headline compile must keep every
+    all-gather payload below the full-plate z*x broadcast size (two 1.6 MB
+    gathers/step before the pos_op/contraction/lowrank fixes)."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "examples", "models"))
+    import movielens
+    from alan_tpu.parallel.hlo_audit import collective_inventory
+
+    problem, _, _, _ = movielens.load_and_generate_problem(
+        key=jax.random.key(0), Q_param_type="qem")
+    mesh = make_mesh({"k": 2, "p": 4})
+    plan = MeshPlan(mesh, {"plate_1": "p"}).with_all_K("k")
+    step, state = train.qem(problem, 30, lr=0.1, mesh_plan=plan)
+    with mesh:
+        compiled = step.lower(state, jax.random.key(4)).compile()
+    inv = collective_inventory(compiled.as_text())
+    ag = inv.get("all-gather", {"count": 0, "bytes": 0})
+    # full-plate gather of the K/4-sharded z*x broadcast = 15*300*5*18*4
+    # = 1.62 MB; legitimate cross-K gathers total ~0.19 MB
+    assert ag["bytes"] < 1_000_000, inv
