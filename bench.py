@@ -212,6 +212,13 @@ def main():
         # time-to-moment-error above/below are the honest headline.
         "vs_baseline": round(value / baseline, 3),
         "vs_baseline_note": "vs eager emulation on host CPU",
+        # round-4 timing-estimator change: median-of-positive slopes (a
+        # stall in the short scan arm deflates a slope toward zero, so the
+        # old min-positive selection was biased LOW — r03's 0.225 ms sat
+        # below the documented 0.34-0.50 ms jitter band).  Cross-check:
+        # headline_vs_bandwidth_floor ~1.1-1.3 says the measured step sits
+        # just above its HBM roofline, consistent with the median.
+        "timing_note": "median-of-positive m-vs-4m scan slopes",
         # utilisation grounding: XLA cost-model FLOPs (a lower bound: Pallas
         # custom calls count as zero, scan bodies once) AND the analytic
         # op-level FLOP model (perf.analytic_flops; exact for the
