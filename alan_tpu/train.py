@@ -313,7 +313,7 @@ def global_qem(problem, K: int, lr=0.1, **_):
     return step, state0
 
 
-def scan_steps(step, n_steps: int, unroll: int = 4):
+def scan_steps(step, n_steps: int, unroll: int | None = None):
     """Fuse ``n_steps`` training steps into ONE XLA program via ``lax.scan``.
 
     ``step(state, key) -> (state, elbo)`` (any factory's output) becomes
@@ -326,11 +326,15 @@ def scan_steps(step, n_steps: int, unroll: int = 4):
     at small K — the MovieLens K=30 step computes in ~0.3 ms) disappears
     entirely, and XLA can overlap/pipeline across iterations.
 
-    ``unroll=4`` (default): the small-step regime is while-loop-overhead
-    bound — unrolling 4 step bodies per loop iteration measured 1.67x on
-    the movielens K=30 headline loop (341 -> 204 us/step; 8 was worse,
-    results/scan_unroll_bench.json).  n_steps not divisible by unroll
-    falls back to the exact remainder handling inside lax.scan."""
+    ``unroll=None`` defaults to 4 on TPU and 1 elsewhere: the small-step
+    regime is while-loop-overhead bound — unrolling 4 step bodies per loop
+    iteration measured 1.67x on the movielens K=30 headline loop
+    (341 -> 204 us/step; 8 was worse, results/scan_unroll_bench.json) —
+    but a 4x scan body also compiles ~4x slower, which is pure cost on the
+    CPU test mesh.  n_steps not divisible by unroll falls back to the
+    exact remainder handling inside lax.scan."""
+    if unroll is None:
+        unroll = 4 if jax.devices()[0].platform == "tpu" else 1
     inner = getattr(step, "__wrapped__", step)  # avoid jit-within-jit retrace
 
     @jax.jit
