@@ -51,7 +51,16 @@ def _shape_tokens(shape_str: str) -> list[int]:
 def _shape_bytes(shape_str: str, start: bool = False) -> int:
     """Bytes a collective's RESULT carries.  Async ``*-start`` ops have a
     tuple shape ``(operand(s), result(s)[, u32 contexts])`` — summing every
-    member double-counts the transfer; keep only the result half."""
+    member double-counts the transfer; keep only the result half.
+
+    Heuristic, with two known failure modes (ADVICE r4): the ``t > 4``
+    context filter also drops genuine <=4-byte members (a scalar f32
+    all-reduce falls through to summing the whole tuple, double-counting
+    ~8 bytes — negligible against the MB-scale payloads the audit cares
+    about), and the equal-halves split assumes operand/result token counts
+    match — an asymmetric start tuple degrades to dropping the first
+    member.  Both err small and only on near-empty transfers; byte totals
+    for the payloads that drive the scaling model are exact."""
     tokens = _shape_tokens(shape_str)
     if start and len(tokens) >= 2:
         body = [t for t in tokens if t > 4]      # drop scalar u32 contexts
@@ -124,7 +133,11 @@ def predict_scaling(flops_per_step: float, inventory: dict, n_chips: int,
       slice — the BASELINE.md samples/s-per-chip regime): compute time
       constant; all-gather / reduce-scatter / all-to-all payloads scale
       ``n_chips / audited_chips`` (their results cover the total sharded
-      work), all-reduce payloads stay parameter-sized.
+      work), all-reduce payloads stay parameter-sized, and
+      collective-permute bytes scale ``log2(n)/log2(audited)`` — the
+      butterfly T-exchange (parallel/seq.py, the only ppermute emitter)
+      does log2(n) rounds of fixed-size K x K boundary operators per chip,
+      so its per-chip traffic grows logarithmically, not linearly.
 
     t_comm = Σ wire-factor(kind)·bytes / ICI bandwidth.  Efficiency =
     t_comp / (t_comp + t_comm) vs a perfectly-linear step.
@@ -140,7 +153,11 @@ def predict_scaling(flops_per_step: float, inventory: dict, n_chips: int,
         factor = _WIRE_FACTOR.get(kind, lambda n: 1.0)(n_chips)
         b = e["bytes"]
         if mode == "weak" and kind != "all-reduce" and audited_chips:
-            b *= n_chips / audited_chips
+            if kind == "collective-permute" and audited_chips > 1:
+                import math
+                b *= math.log2(n_chips) / math.log2(audited_chips)
+            else:
+                b *= n_chips / audited_chips
         t_comm += factor * b / ici_bytes_per_s
     eff = t_comp / (t_comp + t_comm) if (t_comp + t_comm) > 0 else 1.0
     return {"n_chips": n_chips, "t_comp_s": t_comp, "t_comm_s": t_comm,

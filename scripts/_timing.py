@@ -33,6 +33,7 @@ def robust_scan_slope(step, state0, n=20, key=None, rounds=3, tries=3):
         float(np.asarray(elbos[-1]))
 
     dts = []
+    pos = []
     elbo = None
     for _ in range(rounds):
         for _ in range(tries):
@@ -46,10 +47,10 @@ def robust_scan_slope(step, state0, n=20, key=None, rounds=3, tries=3):
         pos = [d for d in dts if d > 0]
         if len(pos) >= max(2, tries - 1):
             return float(np.median(pos)), elbo
-    if pos:
+    if len(pos) >= 2:               # same >=2 bar as the in-loop exit
         return float(np.median(pos)), elbo
     raise RuntimeError(
-        f"all {len(dts)} slope measurements non-positive ({dts}); "
+        f"fewer than 2 positive slopes in {len(dts)} measurements ({dts}); "
         f"remote-TPU tunnel is stalling — re-run")
 
 
