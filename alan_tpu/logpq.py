@@ -281,12 +281,45 @@ def _chain_ts(lp, name, K_inits, K_currs):
     k_sizes = shp[nrem + 1 + n:]
     joint = o.data.reshape(
         shp[:nrem] + (T_size, math.prod(ki_sizes), math.prod(k_sizes)))
+    joint = _constrain_chain_operand(joint, o.dims, name)
     chained = _chain(joint, name)               # (*hi, ΠKi, ΠK)
     maxv = jax.lax.stop_gradient(jnp.max(chained, axis=-1))
     summed = jnp.log(jnp.sum(
         jnp.exp(chained - maxv[..., None]), axis=-1))
     out = (summed + maxv).reshape(shp[:nrem] + tuple(ki_sizes))
     return bind(DT(out, o.dims), *K_inits)
+
+
+def _constrain_chain_operand(joint, hi_dims, platename):
+    """Pin the chain operator's sharding before the log-matmul tree: plate
+    (hi) dims keep their planned mesh axes, the T dim keeps its sequence
+    axis if T-sharded, and the Ki/K axes are REPLICATED.
+
+    Without this, ``with_all_K`` leaves the K×K operators k-sharded and
+    GSPMD inserts an all-gather + all-reduce at *every* level of the
+    balanced tree product (covid K=30 on a {k:2,p:4} mesh: ~300 MB of
+    collectives per step, found by the round-5 all-models audit).  Gathering
+    the operator ONCE at the boundary costs ~9 MB; the tree then contracts
+    collective-free on the plate shards.  (TP-sharding a chain only pays at
+    K×K sizes far beyond MP's K≈30 regime.)"""
+    from .parallel.mesh import active_plan
+    plan = active_plan()
+    if plan is None:
+        return joint
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+    sizes = dict(zip(plan.mesh.axis_names, plan.mesh.devices.shape))
+    parts = []
+    for i, d in enumerate(hi_dims):
+        a = plan._axis_for(d)
+        parts.append(a if a is not None
+                     and joint.shape[i] % sizes[a] == 0 else None)
+    t_axis = plan._axis_for(platename)
+    if t_axis is not None and joint.shape[len(hi_dims)] % sizes[t_axis] != 0:
+        t_axis = None
+    spec = PartitionSpec(*parts, t_axis, None, None)
+    return jax.lax.with_sharding_constraint(
+        joint, NamedSharding(plan.mesh, spec))
 
 
 def _chain(ms, platename):

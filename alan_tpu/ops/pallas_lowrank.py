@@ -49,9 +49,17 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 # end-to-end outcome.  "high" = bf16x3 split-accumulate (~1e-6 relative
 # error on the log-density scores, immaterial against f32 summation noise),
 # half the MXU passes of HIGHEST = bf16x6.  Mosaic can't lower
-# Precision.HIGH directly, so bf16x3 is spelled out as three DEFAULT dots
-# over (hi, lo) bf16 splits.  ALAN_TPU_LOWRANK_PRECISION overrides.
+# Precision.HIGH directly, so bf16x3 is spelled as DEFAULT dots over
+# hi/lo bf16 splits — as ONE dot over a 3x-concatenated contraction dim
+# ([ah ah al]·[bh bl bh]ᵀ): with F=36 minor, three separate k=36 dots run
+# the 128-wide MXU at 28% fill while one k=108 dot runs it at 84%
+# ("highsplit" keeps the old 3-dot form).  ALAN_TPU_LOWRANK_PRECISION
+# overrides; ALAN_TPU_LOWRANK_GRAD_PRECISION sets the dU/dV gradient dots
+# separately (gradient noise tolerates DEFAULT bf16 — see
+# results/lowrank_bwd_sweep.json before changing defaults).
 _PRECISION_MODE = os.environ.get("ALAN_TPU_LOWRANK_PRECISION", "high").lower()
+_GRAD_PRECISION_MODE = os.environ.get(
+    "ALAN_TPU_LOWRANK_GRAD_PRECISION", _PRECISION_MODE).lower()
 
 
 def _dot1(a, b, dims, precision):
@@ -66,27 +74,50 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _dot(a, b, dims):
-    if _PRECISION_MODE == "highest":
+def _dot(a, b, dims, mode=None):
+    mode = _PRECISION_MODE if mode is None else mode
+    if mode == "highest":
         return _dot1(a, b, dims, jax.lax.Precision.HIGHEST)
-    if _PRECISION_MODE == "default":
+    if mode == "default":
         return _dot1(a, b, dims, jax.lax.Precision.DEFAULT)
     # bf16x3: a·b = ah·bh + ah·bl + al·bh  (+ al·bl ~ 2^-16 rel, dropped)
     ah, al = _split_bf16(a)
     bh, bl = _split_bf16(b)
     d = jax.lax.Precision.DEFAULT
-    return (_dot1(ah, bh, dims, d) + _dot1(ah, bl, dims, d)
-            + _dot1(al, bh, dims, d))
+    if mode == "highsplit":
+        return (_dot1(ah, bh, dims, d) + _dot1(ah, bl, dims, d)
+                + _dot1(al, bh, dims, d))
+    # "high": same three products in one MXU call over a concatenated
+    # contraction dim
+    (ka,), (kb,) = dims
+    a3 = jnp.concatenate([ah, ah, al], axis=ka)
+    b3 = jnp.concatenate([bh, bl, bh], axis=kb)
+    return _dot1(a3, b3, dims, d)
+
+
+def _gdot(a, b, dims):
+    return _dot(a, b, dims, mode=_GRAD_PRECISION_MODE)
+
+
+# Mosaic scoped-VMEM ceiling for this kernel.  The chip has 128 MB VMEM per
+# core but Mosaic's default scoped limit is ~16 MB, which forced the
+# backward onto (bp=8, bi=256) tiles — 4x the grid steps of the forward and
+# the dominant cost of the grouped-K=1000 step (71% of it sat in the bwd
+# kernel, results/grouped_k1000_profile.json).  0 = compiler default.
+_VMEM_LIMIT_MB = int(os.environ.get("ALAN_TPU_LOWRANK_VMEM_MB", "0"))
 
 
 def _cparams(dimension_semantics):
     """Tell Mosaic which grid dims are parallel vs sequential-accumulation:
     without this the whole grid is treated as arbitrary (serialised), which
     costs pipelining across the parallel dims."""
+    kw = {"dimension_semantics": dimension_semantics}
+    if _VMEM_LIMIT_MB:
+        kw["vmem_limit_bytes"] = _VMEM_LIMIT_MB * 1024 * 1024
     try:
-        return pltpu.CompilerParams(dimension_semantics=dimension_semantics)
+        return pltpu.CompilerParams(**kw)
     except Exception:  # pragma: no cover (older pallas naming)
-        return pltpu.TPUCompilerParams(dimension_semantics=dimension_semantics)
+        return pltpu.TPUCompilerParams(**kw)
 
 
 # ---- tiling ----------------------------------------------------------------
@@ -118,8 +149,10 @@ def _tiles(P, I, J, F, bwd=False):
         bi = (bi_cap // 128) * 128         # i-tiling: mult-of-128 blocks
         if bi < 128:
             return None
-    # U tile must fit comfortably (double-buffered by the pipeline)
-    if bp * bi * F * 4 > 6 * 1024 * 1024:
+    # U tile must fit comfortably (double-buffered by the pipeline); the
+    # headroom scales with a raised scoped-VMEM ceiling
+    u_cap_mb = max(6, _VMEM_LIMIT_MB // 4)
+    if bp * bi * F * 4 > u_cap_mb * 1024 * 1024:
         return None
     return bp, bi, bj
 
@@ -220,9 +253,9 @@ def _bwd_kernel(u_ref, v_ref, d_ref, o_ref, g_ref, du_ref, dd_ref, dv_ref,
         dd_ref[0] = jnp.zeros_like(dd_ref[0])
 
     gw2 = gw.reshape(bp * bi, bj)
-    du_ref[0] += _dot(gw2, v, ((1,), (0,))).reshape(bp, bi, F)
+    du_ref[0] += _gdot(gw2, v, ((1,), (0,))).reshape(bp, bi, F)
     dd_ref[0] += jnp.sum(gw, axis=2)
-    dv_ref[0] = _dot(gw2, u.reshape(bp * bi, F), ((0,), (0,)))
+    dv_ref[0] = _gdot(gw2, u.reshape(bp * bi, F), ((0,), (0,)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

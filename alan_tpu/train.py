@@ -327,9 +327,11 @@ def scan_steps(step, n_steps: int, unroll: int | None = None):
     entirely, and XLA can overlap/pipeline across iterations.
 
     ``unroll=None`` defaults to 4 on TPU and 1 elsewhere: the small-step
-    regime is while-loop-overhead bound — unrolling 4 step bodies per loop
-    iteration measured 1.67x on the movielens K=30 headline loop
-    (341 -> 204 us/step; 8 was worse, results/scan_unroll_bench.json) —
+    regime is while-loop-overhead bound — unrolling step bodies measured
+    ~1.15x on the movielens K=30 headline loop with median-slope timing
+    (451 -> 377-393 us/step at unroll 2/4/8, all within jitter of each
+    other; results/scan_unroll_bench.json.  The earlier 1.67x/204 us
+    record was a stall-deflated min-slope, withdrawn in round 5) —
     but a 4x scan body also compiles ~4x slower, which is pure cost on the
     CPU test mesh.  n_steps not divisible by unroll falls back to the
     exact remainder handling inside lax.scan."""

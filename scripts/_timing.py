@@ -13,7 +13,8 @@ import numpy as np
 import jax
 
 
-def robust_scan_slope(step, state0, n=20, key=None, rounds=3, tries=3):
+def robust_scan_slope(step, state0, n=20, key=None, rounds=3, tries=3,
+                      unroll=None):
     """(per-step seconds, final elbo) for a fused training ``step`` via the
     MEDIAN positive m-vs-4m scan slope.
 
@@ -26,8 +27,9 @@ def robust_scan_slope(step, state0, n=20, key=None, rounds=3, tries=3):
     from alan_tpu import train
 
     key = key if key is not None else jax.random.key(7)
-    run_short = train.scan_steps(step, n)
-    run_long = train.scan_steps(step, 4 * n)
+    kw = {} if unroll is None else {"unroll": unroll}
+    run_short = train.scan_steps(step, n, **kw)
+    run_long = train.scan_steps(step, 4 * n, **kw)
     for run in (run_short, run_long):          # compile + warm up
         _, elbos = run(state0, key)
         float(np.asarray(elbos[-1]))

@@ -396,3 +396,47 @@ def test_no_fullplate_gather_in_headline_compile():
     # full-plate gather of the K/4-sharded z*x broadcast = 15*300*5*18*4
     # = 1.62 MB; legitimate cross-K gathers total ~0.19 MB
     assert ag["bytes"] < 1_000_000, inv
+
+
+# ---- all-models sharded-compile collective budgets (VERDICT r5 #7) ---------
+# The GSPMD merge-gather bug class produced three instances in round 4 on
+# just two audited models, and the round-5 all-models audit immediately
+# caught a fourth: with_all_K left covid's K x K chain operators k-sharded,
+# so GSPMD gathered + reduced at EVERY level of the chain tree (~573 MB of
+# collectives per step; fixed by logpq._constrain_chain_operand -> ~15 MB).
+# Budgets are ~3-10x the audited post-fix inventories
+# (results/sharded_audit_all_models.json) — loose enough for benign compiler
+# drift, tight enough that any full-plate or per-tree-level gather trips.
+_AUDIT_BUDGETS = {
+    # model: (mesh axes, dim2axis, all-gather byte cap, all-reduce byte cap)
+    "bus_breakdown": ({"k": 2, "p": 2}, {"plate_ID": "p"}, 300_000, 200_000),
+    "chimpanzees": ({"k": 2, "p": 2}, {"plate_blocks": "p"}, 200_000, 200_000),
+    "occupancy": ({"k": 2, "p": 4}, {"plate_Ids": "p"}, 8_000_000, 2_000_000),
+    "radon": ({"k": 2, "p": 4}, {"States": "p"}, 1_000_000, 200_000),
+    "covid": ({"k": 2, "p": 4}, {"nRs": "p"}, 30_000_000, 5_000_000),
+}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("model_name", sorted(_AUDIT_BUDGETS))
+def test_sharded_compile_collective_budget(model_name):
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "examples", "models"))
+    from alan_tpu.parallel.hlo_audit import collective_inventory
+
+    axes, shards, ag_cap, ar_cap = _AUDIT_BUDGETS[model_name]
+    mod = __import__(model_name)
+    problem, *_ = mod.load_and_generate_problem(
+        key=jax.random.key(0), Q_param_type="qem")
+    mesh = make_mesh(axes)
+    plan = MeshPlan(mesh, shards).with_all_K("k")
+    step, state = train.qem(problem, 30, lr=0.1, mesh_plan=plan)
+    with mesh:
+        compiled = step.lower(state, jax.random.key(4)).compile()
+    inv = collective_inventory(compiled.as_text())
+    ag = inv.get("all-gather", {"count": 0, "bytes": 0})
+    ar = inv.get("all-reduce", {"count": 0, "bytes": 0})
+    assert ag["bytes"] < ag_cap, inv
+    assert ar["bytes"] < ar_cap, inv
