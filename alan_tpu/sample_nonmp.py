@@ -110,6 +110,63 @@ def _unify_dims(sample, Kdim, platenames):
     return result
 
 
+def nonmp_moments_streaming(problem, K_total: int, chunk: int, moms,
+                            key, reparam: bool = False):
+    """Global-IS ``RawMoment`` estimates at K far beyond device memory.
+
+    The reference's moments-paper sweep (``old_scripts/runner_moments_IS.py``
+    + ``config/moments_IS_conf.yaml``, Ks up to 10^7) simply OOMs global IS
+    at large K and drops those points from the plot.  TPU-native fix: a
+    ``lax.scan`` over ``K_total // chunk`` proposal chunks with an online-
+    logsumexp combine — weights and weighted moment sums are accumulated
+    under a running max, so memory is O(chunk) while the estimate equals
+    the single global softmax over the same chunked proposals up to float
+    reassociation (pinned by tests/test_nonmp.py); statistically it is
+    exactly a K_total-sample global-IS estimate.
+
+    ``moms``: list of ``(varnames, RawMoment)``.  Returns
+    ``(moment DT list, elbo)`` where elbo = logsumexp(lpq) − log K_total.
+    """
+    from .moments import uniformise_moment_args
+    moms = uniformise_moment_args((moms,))
+    n_chunks, rem = divmod(K_total, chunk)
+    assert rem == 0 and n_chunks >= 1, (K_total, chunk)
+
+    def chunk_stats(k):
+        s = problem.sample_nonmp(chunk, reparam=reparam, key=k)
+        lpq = s.logpq(s.detached_sample)
+        o = lpq.order(s.Kdim).data                          # (chunk,)
+        m = jnp.max(o)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        w = DT(jnp.exp(o - m), (s.Kdim,))
+        flat_sample = flatten_dict(s.detached_sample)
+        sums = []
+        for varnames, mom in moms:
+            args = tuple(flat_sample[vn] for vn in varnames)
+            sums.append(mom.from_marginals(args, w,
+                                           problem.all_platedims))
+        z = jnp.sum(jnp.exp(o - m))
+        return m, z, sums
+
+    def body(carry, k):
+        M, Z, S = carry
+        mc, zc, sc = chunk_stats(k)
+        Mn = jnp.maximum(M, mc)
+        a, b = jnp.exp(M - Mn), jnp.exp(mc - Mn)
+        Z = Z * a + zc * b
+        S = [DT(s.data * a + x.data * b, s.dims) for s, x in zip(S, sc)]
+        return (Mn, Z, S), None
+
+    keys = jax.random.split(key, n_chunks)
+    m0, z0, s0 = chunk_stats(keys[0])
+    if n_chunks > 1:
+        (m0, z0, s0), _ = jax.lax.scan(body, (m0, z0, s0), keys[1:])
+    tiny = jnp.finfo(jnp.float32).tiny
+    moments = [DT(s.data / (z0 + tiny), s.dims) for s in s0]
+    elbo = jnp.log(z0 + tiny) + m0 - math.log(K_total)
+    return moments, elbo
+
+
 def non_mp_log_prob(name, P, Q, sample, inputs_params, data, scope,
                     active_platedims, all_platedims, Kdim):
     """Flat traversal computing Σ (logP − logQ) with one global K

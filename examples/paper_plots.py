@@ -168,6 +168,41 @@ def plot_moments(files, out):
     print("wrote", out)
 
 
+def plot_is_sweep(files, out, metric="var_mse_total"):
+    """MP vs global-IS moment MSE against K from the round-5
+    ``runner_moments_IS`` records (reference figure:
+    ``moments_paper_plots.plot_IS_per_K_one_model``).  Failed Ks (OOM —
+    the reference removes these via ``remove_failed_Ks``) are skipped."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    runs = _load(files)
+    fig, axes = plt.subplots(1, len(runs), figsize=(3.6 * len(runs), 2.9),
+                             squeeze=False)
+    for ax, r in zip(axes[0], runs):
+        for tag, (label, colour, ls) in [
+                ("mp", ("MP IS", "#e7298a", "-")),
+                ("global_is", ("Global IS", "#7570b3", "--"))]:
+            rows = [(int(k), v[metric]) for k, v in r.get(tag, {}).items()
+                    if metric in v]
+            rows.sort()
+            if rows:
+                ax.plot([k for k, _ in rows], [y for _, y in rows],
+                        color=colour, ls=ls, marker="o", ms=4, lw=1.5,
+                        label=label)
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+        ax.set_xlabel("K")
+        ax.set_ylabel("moment MSE (across-run variance)"
+                      if metric == "var_mse_total" else metric)
+        ax.set_title(r.get("model", "?"))
+        ax.legend(fontsize=7, frameon=False)
+    fig.tight_layout()
+    fig.savefig(out, dpi=180)
+    print("wrote", out)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -182,11 +217,17 @@ def main(argv=None):
     m = sub.add_parser("moments", help="moment-MSE vs K figure")
     m.add_argument("files", nargs="+")
     m.add_argument("-o", "--out", default="moments_paper.png")
+    i = sub.add_parser("is-sweep", help="MP vs global-IS MSE-vs-K figure")
+    i.add_argument("files", nargs="+")
+    i.add_argument("-o", "--out", default="moments_is_sweep.png")
+    i.add_argument("--metric", default="var_mse_total")
     args = ap.parse_args(argv)
 
     if args.cmd == "qem":
         plot_qem(args.files, args.out, x_time=args.time, window=args.window,
                  compare_reparams=args.compare_reparams, best_lr=args.best_lr)
+    elif args.cmd == "is-sweep":
+        plot_is_sweep(args.files, args.out, metric=args.metric)
     else:
         plot_moments(args.files, args.out)
 

@@ -66,3 +66,46 @@ def test_joint_marginals_and_cov():
 def as_dt_mean():
     from alan_tpu import mean
     return mean
+
+
+def test_nonmp_streaming_matches_global_softmax():
+    """The chunked online-logsumexp combine must equal one global softmax
+    over the same chunked proposals (float-reassociation tolerance), and
+    its elbo must match the concatenated logsumexp."""
+    import jax.numpy as jnp
+    from alan_tpu.dims import dims_of
+    from alan_tpu.sample_nonmp import nonmp_moments_streaming
+    from alan_tpu.utils import flatten_dict
+
+    tp = importlib.import_module("model_linear_gaussian_latents").tp
+    problem = tp.problem
+    chunk, n_chunks = 64, 4
+    key = jax.random.key(7)
+    moms = [(vns, m) for vns, m in tp.moments]
+    stream_moms, stream_elbo = nonmp_moments_streaming(
+        problem, chunk * n_chunks, chunk, moms, key)
+
+    # manual reference: same per-chunk keys, one global softmax
+    keys = jax.random.split(key, n_chunks)
+    os_, fs = [], {i: [] for i in range(len(moms))}
+    for k in keys:
+        s = problem.sample_nonmp(chunk, reparam=False, key=k)
+        lpq = s.logpq(s.detached_sample)
+        os_.append(np.asarray(lpq.order(s.Kdim).data))
+        flat = flatten_dict(s.detached_sample)
+        for i, (vns, m) in enumerate(moms):
+            f = as_dt(m.f(*[flat[vn] for vn in vns]))
+            # order(K) makes K the TRAILING positional axis; lead with it
+            fs[i].append(np.moveaxis(np.asarray(f.order(s.Kdim).data),
+                                     -1, 0))
+    o = np.concatenate(os_)
+    w = np.exp(o - o.max())
+    w /= w.sum()
+    assert np.isclose(float(stream_elbo),
+                      float(np.log(np.exp(o - o.max()).sum()) + o.max()
+                            - np.log(o.size)), atol=1e-4)
+    for i, sm in enumerate(stream_moms):
+        f = np.concatenate(fs[i])                     # (K_total, ...)
+        ref = np.tensordot(w, f, axes=(0, 0))
+        got = np.asarray(sm.order(*dims_of(sm)).data)
+        assert np.allclose(got, ref, rtol=1e-4, atol=1e-5), (i, got, ref)
