@@ -50,13 +50,14 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 # error on the log-density scores, immaterial against f32 summation noise),
 # half the MXU passes of HIGHEST = bf16x6.  Mosaic can't lower
 # Precision.HIGH directly, so bf16x3 is spelled as DEFAULT dots over
-# hi/lo bf16 splits — as ONE dot over a 3x-concatenated contraction dim
-# ([ah ah al]·[bh bl bh]ᵀ): with F=36 minor, three separate k=36 dots run
-# the 128-wide MXU at 28% fill while one k=108 dot runs it at 84%
-# ("highsplit" keeps the old 3-dot form).  ALAN_TPU_LOWRANK_PRECISION
-# overrides; ALAN_TPU_LOWRANK_GRAD_PRECISION sets the dU/dV gradient dots
-# separately (gradient noise tolerates DEFAULT bf16 — see
-# results/lowrank_bwd_sweep.json before changing defaults).
+# hi/lo bf16 splits.  Mode "high" (default) = the PACKED path: operands
+# pre-concatenated outside the kernel to k=3F bf16 ([Uh Uh Ul]·[Vh Vl Vh])
+# so every dot is one ~84%-fill MXU pass instead of three 28%-fill ones
+# (F=36 vs the 128-deep array); "highsplit" = the legacy three-dot form;
+# "highcat" = in-kernel concat (measured worse: unaligned lane relayout).
+# ALAN_TPU_LOWRANK_PRECISION overrides; ALAN_TPU_LOWRANK_GRAD_PRECISION
+# sets the dU/dV gradient dots for the non-packed paths (the packed path
+# always computes bf16x3-quality grads via the aligned gw split).
 _PRECISION_MODE = os.environ.get("ALAN_TPU_LOWRANK_PRECISION", "high").lower()
 _GRAD_PRECISION_MODE = os.environ.get(
     "ALAN_TPU_LOWRANK_GRAD_PRECISION", _PRECISION_MODE).lower()
@@ -87,8 +88,11 @@ def _dot(a, b, dims, mode=None):
     if mode == "highsplit":
         return (_dot1(ah, bh, dims, d) + _dot1(ah, bl, dims, d)
                 + _dot1(al, bh, dims, d))
-    # "high": same three products in one MXU call over a concatenated
-    # contraction dim
+    # "highcat": the three products in one MXU call over a concatenated
+    # contraction dim.  NOTE: measured WORSE than highsplit in-kernel —
+    # lane-dim concat at offset F=36 is an unaligned relayout in Mosaic;
+    # the production packed path ("high") concatenates OUTSIDE the kernel
+    # instead (see _pack3).
     (ka,), (kb,) = dims
     a3 = jnp.concatenate([ah, ah, al], axis=ka)
     b3 = jnp.concatenate([bh, bl, bh], axis=kb)
@@ -97,6 +101,55 @@ def _dot(a, b, dims, mode=None):
 
 def _gdot(a, b, dims):
     return _dot(a, b, dims, mode=_GRAD_PRECISION_MODE)
+
+
+# ---- packed bf16x3 ("high", the default) -----------------------------------
+# The kernels' dots have k = F = 36 (scores) or n = F = 36 (dU/dV): against
+# the 128-wide MXU that is 28% array fill, and spelling bf16x3 as three
+# separate dots triples the passes — the round-5 trace showed the backward
+# MXU-bound at exactly 9 x 28%-fill dots/tile.  The packed path builds the
+# hi/lo operands ONCE outside the kernel (XLA fuses the casts/concats into
+# the producers, and the layout change is free there):
+#     U3 = [Uh Uh Ul],  V3 = [Vh Vl Vh]   (bf16, k = 3F = 108)
+# so the score dot is a SINGLE DEFAULT MXU pass at 84% fill computing
+# exactly ah·bh + ah·bl + al·bh — the identical bf16x3 product set.  The
+# backward splits gw at lane-ALIGNED offset 128 in-kernel and contracts
+# against duplicated V3/U3, yielding segment gradients that reassemble as
+#     dU = dU3[:F] + dU3[F:2F]        (gw·Vh + gw·Vl, both gw-split)
+#     dV = dV3[:F] + dV3[2F:]         ((gwh+gwl)ᵀ·(Uh+Ul))
+# (segment 2 of dU3 duplicates segment 0's Vh product; segment 1 of dV3
+# duplicates segment 0's Uh product — each is summed once.)
+
+def _split_bf16_xla(x):
+    """hi/lo split for XLA-side (outside-kernel) use.  MUST go through
+    ``lax.reduce_precision``: under ``--xla_allow_excess_precision=true``
+    (set by this environment's TPU compile service) XLA folds
+    ``convert_f32(convert_bf16(x))`` back to ``x``, which turns the lo
+    term into exactly 0 and silently degrades the packed bf16x3 operands
+    to plain bf16 (observed: ~1e-3-relative score errors ONLY in fused
+    graphs — isolated kernel calls were exact, which is what made this
+    hunt long).  ``reduce_precision`` has explicit rounding semantics the
+    simplifier must preserve."""
+    hi_f32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (x - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _pack3(U, V):
+    Uh, Ul = _split_bf16_xla(U)
+    Vh, Vl = _split_bf16_xla(V)
+    U3 = jnp.concatenate([Uh, Uh, Ul], axis=-1)
+    V3 = jnp.concatenate([Vh, Vl, Vh], axis=-1)
+    # pad the packed contraction dim to a lane multiple: zero columns add
+    # nothing to the scores and a 128-aligned bf16 minor dim avoids
+    # relayout work at the custom-call boundary
+    k = U3.shape[-1]
+    pad = (-k) % 128
+    if pad:
+        U3 = jnp.pad(U3, [(0, 0)] * (U3.ndim - 1) + [(0, pad)])
+        V3 = jnp.pad(V3, [(0, 0)] * (V3.ndim - 1) + [(0, pad)])
+    return U3, V3
 
 
 # Mosaic scoped-VMEM ceiling for this kernel.  The chip has 128 MB VMEM per
@@ -159,19 +212,20 @@ def _tiles(P, I, J, F, bwd=False):
 
 # ---- forward ---------------------------------------------------------------
 
-def _fwd_kernel(u_ref, v_ref, d_ref, o_ref, m_acc, s_acc, *, ni, i_valid):
+def _fwd_kernel(u_ref, v_ref, d_ref, o_ref, m_acc, s_acc, *, ni,
+                score_mode):
     i_idx = pl.program_id(3)
-    u = u_ref[0]                                       # (bp, bi, F)
-    v = v_ref[0]                                       # (bj, F)
+    u = u_ref[0]                                       # (bp, bi, Fk)
+    v = v_ref[0]                                       # (bj, Fk)
     d = d_ref[0]                                       # (bp, bi)
-    bp, bi, F = u.shape
+    bp, bi, Fk = u.shape
     bj = v.shape[0]
 
-    scores = _dot(u.reshape(bp * bi, F), v, ((1,), (1,)))   # (bp*bi, bj)
+    # overhang handled by explicit operand padding in the wrapper (U=0,
+    # D=-inf -> exp underflows to exactly 0): no per-tile mask ops
+    scores = _dot(u.reshape(bp * bi, Fk), v, ((1,), (1,)),
+                  mode=score_mode)                     # (bp*bi, bj)
     scores = scores.reshape(bp, bi, bj) + d[..., None]
-    # mask the i-overhang of the last tile (padding is unspecified memory)
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, bi, 1), 1) + i_idx * bi
-    scores = jnp.where(row < i_valid, scores, -jnp.inf)
 
     @pl.when(i_idx == 0)
     def _():
@@ -192,18 +246,40 @@ def _fwd_kernel(u_ref, v_ref, d_ref, o_ref, m_acc, s_acc, *, ni, i_valid):
         o_ref[0] = jnp.log(s_acc[...] + tiny) + m_acc[...]
 
 
+def _pad(x, tile_sizes, const=0.0):
+    """Pad trailing dims of ``x`` up to multiples of ``tile_sizes``."""
+    pads = [(0, 0)] * (x.ndim - len(tile_sizes))
+    for dim, t in zip(x.shape[x.ndim - len(tile_sizes):], tile_sizes):
+        pads.append((0, (-dim) % t if t else 0))
+    if not any(p for _, p in pads):
+        return x
+    return jnp.pad(x, pads, constant_values=const)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_fwd(U, V, D, interpret=False):
     S, P, I, F = U.shape
     J = V.shape[1]
     bp, bi, bj = _tiles(P, I, J, F)
     np_, ni, nj = pl.cdiv(P, bp), pl.cdiv(I, bi), pl.cdiv(J, bj)
+    if _PRECISION_MODE == "high":
+        U, V = _pack3(U, V)                 # bf16, k = 3F, one MXU pass
+        score_mode = "default"
+    else:
+        score_mode = _PRECISION_MODE
+    # explicit overhang padding (replaces in-kernel masking): U rows of 0
+    # with D=-inf produce exactly-0 weights; padded out rows/cols are
+    # sliced off below
+    U = _pad(U, (bp, bi, 0))
+    V = _pad(V, (bj, 0))
+    D = _pad(D, (bp, bi), const=-jnp.inf)
+    Fk = U.shape[-1]
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, ni=ni, i_valid=I),
+        functools.partial(_fwd_kernel, ni=ni, score_mode=score_mode),
         grid=(S, np_, nj, ni),
         in_specs=[
-            pl.BlockSpec((1, bp, bi, F), lambda s, p, j, i: (s, p, i, 0)),
-            pl.BlockSpec((1, bj, F), lambda s, p, j, i: (s, j, 0)),
+            pl.BlockSpec((1, bp, bi, Fk), lambda s, p, j, i: (s, p, i, 0)),
+            pl.BlockSpec((1, bj, Fk), lambda s, p, j, i: (s, j, 0)),
             pl.BlockSpec((1, bp, bi), lambda s, p, j, i: (s, p, i)),
         ],
         out_specs=pl.BlockSpec((1, bp, bj), lambda s, p, j, i: (s, p, j)),
@@ -220,32 +296,25 @@ def _pallas_fwd(U, V, D, interpret=False):
 # ---- backward --------------------------------------------------------------
 
 def _bwd_kernel(u_ref, v_ref, d_ref, o_ref, g_ref, du_ref, dd_ref, dv_ref,
-                *, nj, p_valid, i_valid, j_valid):
-    p_idx, i_idx, j_idx = pl.program_id(1), pl.program_id(2), pl.program_id(3)
-    u = u_ref[0]                                       # (bp, bi, F)
-    v = v_ref[0]                                       # (bj, F)
+                *, nj, score_mode, packed):
+    j_idx = pl.program_id(3)
+    u = u_ref[0]                                       # (bp, bi, Fk)
+    v = v_ref[0]                                       # (bj, Fk)
     d = d_ref[0]                                       # (bp, bi)
     out = o_ref[0]                                     # (bp, bj)
     g = g_ref[0]                                       # (bp, bj)
-    bp, bi, F = u.shape
+    bp, bi, Fk = u.shape
     bj = v.shape[0]
 
-    # overhang tiles read unspecified padding: zero-mask the operands
-    # themselves, not just gw — 0·NaN inside the dots would poison real cells
-    prow = jax.lax.broadcasted_iota(jnp.int32, (bp, 1, 1), 0) + p_idx * bp
-    irow = jax.lax.broadcasted_iota(jnp.int32, (1, bi, 1), 1) + i_idx * bi
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bj), 2) + j_idx * bj
-    vrow = jax.lax.broadcasted_iota(jnp.int32, (bj, 1), 0) + j_idx * bj
-    v = jnp.where(vrow < j_valid, v, 0.0)
-    u = jnp.where((prow < p_valid) & (irow < i_valid), u, 0.0)
-
-    scores = _dot(u.reshape(bp * bi, F), v, ((1,), (1,)))
+    # Overhang is handled by explicit operand padding in the wrapper
+    # (U=V=0, D=-inf, out=+inf, g=0), chosen so every padded gw cell is
+    # EXACTLY 0 with no inf-inf/0*inf hazards: padded i/p give
+    # exp(-inf - finite) = 0; padded j give g=0 times exp(scores - inf)=0.
+    # This removes 4 iota builds + 3 wheres per tile — elementwise VPU work
+    # over the score space was a comparable cost to the exp itself.
+    scores = _dot(u.reshape(bp * bi, Fk), v, ((1,), (1,)), mode=score_mode)
     scores = scores.reshape(bp, bi, bj) + d[..., None]
-    # softmax weights from the saved forward output; mask every overhang
-    # (p rows feed dV, i rows feed dV/dD, j cols feed dU/dD — all must be 0)
-    gw = g[:, None, :] * jnp.exp(scores - out[:, None, :])
-    valid = (prow < p_valid) & (irow < i_valid) & (jcol < j_valid)
-    gw = jnp.where(valid, gw, 0.0)                     # (bp, bi, bj)
+    gw = g[:, None, :] * jnp.exp(scores - out[:, None, :])  # (bp, bi, bj)
 
     @pl.when(j_idx == 0)
     def _():
@@ -253,9 +322,23 @@ def _bwd_kernel(u_ref, v_ref, d_ref, o_ref, g_ref, du_ref, dd_ref, dv_ref,
         dd_ref[0] = jnp.zeros_like(dd_ref[0])
 
     gw2 = gw.reshape(bp * bi, bj)
-    du_ref[0] += _gdot(gw2, v, ((1,), (0,))).reshape(bp, bi, F)
+    if packed:
+        # gw split at lane-ALIGNED offset bj (free concat), contracted
+        # against duplicated packed operands: one MXU pass each for the
+        # segment grads (wrapper reassembles dU/dV; see _pack3 notes)
+        gwh, gwl = _split_bf16(gw2)
+        gw_k = jnp.concatenate([gwh, gwl], axis=1)      # (bp*bi, 2*bj)
+        v2 = jnp.concatenate([v, v], axis=0)            # (2*bj, Fk)
+        du_ref[0] += _dot1(gw_k, v2, ((1,), (0,)),
+                           jax.lax.Precision.DEFAULT).reshape(bp, bi, Fk)
+        gw_r = jnp.concatenate([gwh, gwl], axis=0)      # (2*bp*bi, bj)
+        u2 = jnp.concatenate([u.reshape(bp * bi, Fk)] * 2, axis=0)
+        dv_ref[0] = _dot1(gw_r, u2, ((0,), (0,)),
+                          jax.lax.Precision.DEFAULT)
+    else:
+        du_ref[0] += _gdot(gw2, v, ((1,), (0,))).reshape(bp, bi, Fk)
+        dv_ref[0] = _gdot(gw2, u.reshape(bp * bi, Fk), ((0,), (0,)))
     dd_ref[0] += jnp.sum(gw, axis=2)
-    dv_ref[0] = _gdot(gw2, u.reshape(bp * bi, F), ((0,), (0,)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -264,35 +347,58 @@ def _pallas_bwd(U, V, D, out, g, interpret=False):
     J = V.shape[1]
     bp, bi, bj = _tiles(P, I, J, F, bwd=True)
     np_, ni, nj = pl.cdiv(P, bp), pl.cdiv(I, bi), pl.cdiv(J, bj)
+    packed = _PRECISION_MODE == "high"
+    if packed:
+        U, V = _pack3(U, V)
+        score_mode = "default"
+    else:
+        score_mode = _PRECISION_MODE
+    # explicit overhang padding; see _bwd_kernel for the exact-zero
+    # construction
+    U = _pad(U, (bp, bi, 0))
+    V = _pad(V, (bj, 0))
+    D = _pad(D, (bp, bi), const=-jnp.inf)
+    out = _pad(out, (bp, bj), const=jnp.inf)
+    g = _pad(g, (bp, bj))
+    Fk = U.shape[-1]
     dU, dD, dVx = pl.pallas_call(
-        functools.partial(_bwd_kernel, nj=nj, p_valid=P, i_valid=I, j_valid=J),
+        functools.partial(_bwd_kernel, nj=nj, score_mode=score_mode,
+                          packed=packed),
         grid=(S, np_, ni, nj),
         in_specs=[
-            pl.BlockSpec((1, bp, bi, F), lambda s, p, i, j: (s, p, i, 0)),
-            pl.BlockSpec((1, bj, F), lambda s, p, i, j: (s, j, 0)),
+            pl.BlockSpec((1, bp, bi, Fk), lambda s, p, i, j: (s, p, i, 0)),
+            pl.BlockSpec((1, bj, Fk), lambda s, p, i, j: (s, j, 0)),
             pl.BlockSpec((1, bp, bi), lambda s, p, i, j: (s, p, i)),
             pl.BlockSpec((1, bp, bj), lambda s, p, i, j: (s, p, j)),
             pl.BlockSpec((1, bp, bj), lambda s, p, i, j: (s, p, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bp, bi, F), lambda s, p, i, j: (s, p, i, 0)),
+            pl.BlockSpec((1, bp, bi, Fk), lambda s, p, i, j: (s, p, i, 0)),
             pl.BlockSpec((1, bp, bi), lambda s, p, i, j: (s, p, i)),
             # dV contributions expanded over (p, i) tiles — each block is
             # written exactly once; XLA sums the (small) leading axis after.
-            pl.BlockSpec((1, bj, F),
+            pl.BlockSpec((1, bj, Fk),
                          lambda s, p, i, j: ((p * ni + i) * S + s, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, np_ * bp, ni * bi, F), jnp.float32),
+            jax.ShapeDtypeStruct((S, np_ * bp, ni * bi, Fk), jnp.float32),
             jax.ShapeDtypeStruct((S, np_ * bp, ni * bi), jnp.float32),
-            jax.ShapeDtypeStruct((np_ * ni * S, nj * bj, F), jnp.float32),
+            jax.ShapeDtypeStruct((np_ * ni * S, nj * bj, Fk), jnp.float32),
         ],
         compiler_params=_cparams(("parallel", "parallel", "parallel",
                                   "arbitrary")),
         interpret=interpret,
     )(U, V, D, out, g)
-    dV = jnp.sum(dVx.reshape(np_ * ni, S, nj * bj, F), axis=0)[:, :J]
-    return dU[:, :P, :I], dD[:, :P, :I], dV
+    dV3 = jnp.sum(dVx.reshape(np_ * ni, S, nj * bj, Fk), axis=0)[:, :J]
+    dU = dU[:, :P, :I]
+    dD = dD[:, :P, :I]
+    if packed:
+        # reassemble the true-operand grads from the segment grads
+        # (dU: gw·Vh + gw·Vl; dV: (gwh+gwl)ᵀ·(Uh+Ul) — see _pack3 notes)
+        dU = dU[..., :F] + dU[..., F:2 * F]
+        dV = dV3[..., :F] + dV3[..., 2 * F:3 * F]
+        return dU, dD, dV
+    return dU, dD, dV3
 
 
 # ---- reference (XLA dense; CPU fallback + test oracle) ---------------------
@@ -349,10 +455,12 @@ def fused_available(S, P, I, J, F) -> bool:
         return False
     if _tiles(P, I, J, F) is None or _tiles(P, I, J, F, bwd=True) is None:
         return False
-    # dV expansion in the backward must stay small
+    # dV expansion in the backward must stay small (packed mode carries
+    # 3F-wide segment grads)
     bp, bi, bj = _tiles(P, I, J, F, bwd=True)
     n_exp = pl.cdiv(P, bp) * pl.cdiv(I, bi) * S
-    if n_exp * pl.cdiv(J, bj) * bj * F * 4 > 256 * 1024 * 1024:
+    f_eff = 3 * F if _PRECISION_MODE == "high" else F
+    if n_exp * pl.cdiv(J, bj) * bj * f_eff * 4 > 256 * 1024 * 1024:
         return False
     return True
 

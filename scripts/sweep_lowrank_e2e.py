@@ -14,17 +14,12 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = {
-    "r4_default": {"ALAN_TPU_LOWRANK_PRECISION": "highsplit"},
-    "concat_k": {},
-    "concat_k_vmem64_bp16": {
+    "r4_highsplit": {"ALAN_TPU_LOWRANK_PRECISION": "highsplit"},
+    "packed_default": {},
+    "packed_vmem64_bp16": {
         "ALAN_TPU_LOWRANK_VMEM_MB": "64",
         "ALAN_TPU_LOWRANK_BP_BWD": "16",
         "ALAN_TPU_LOWRANK_SCORE_BWD": str(1024 * 1024)},
-    "concat_k_vmem64_bp16_graddefault": {
-        "ALAN_TPU_LOWRANK_VMEM_MB": "64",
-        "ALAN_TPU_LOWRANK_BP_BWD": "16",
-        "ALAN_TPU_LOWRANK_SCORE_BWD": str(1024 * 1024),
-        "ALAN_TPU_LOWRANK_GRAD_PRECISION": "default"},
 }
 
 
