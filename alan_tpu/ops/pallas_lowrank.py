@@ -335,6 +335,9 @@ def _bwd_kernel(u_ref, v_ref, d_ref, o_ref, g_ref, du_ref, dd_ref, dv_ref,
         u2 = jnp.concatenate([u.reshape(bp * bi, Fk)] * 2, axis=0)
         dv_ref[0] = _dot1(gw_r, u2, ((0,), (0,)),
                           jax.lax.Precision.DEFAULT)
+        # (routing dD through an MXU matvec on gw_k was tried and measured
+        # SLOWER end-to-end, 7.30 -> 8.12 ms: the VPU lane reduction is
+        # cheaper than the extra MXU pass here)
     else:
         du_ref[0] += _gdot(gw2, v, ((1,), (0,))).reshape(bp, bi, Fk)
         dv_ref[0] = _gdot(gw2, u.reshape(bp * bi, Fk), ((0,), (0,)))

@@ -73,7 +73,7 @@ def load_data_covariates(key=None, run=0, fake_data=True, nRs=nRs, nDs=nDs,
     return ret
 
 
-def get_P(platesizes, covariates):
+def get_P(platesizes, covariates, corr_CM=False):
     cm_prior_scale = 1
     wearing_mean, wearing_sigma = 0, 0.4
     mobility_mean, mobility_sigma = 1.704, 0.44
@@ -85,8 +85,17 @@ def get_P(platesizes, covariates):
         RegionR + CM_alpha @ ActiveCMs_NPIs + Wearing_alpha * ActiveCMs_wearing \
         + Mobility_alpha * ActiveCMs_mobility + prev
 
+    if corr_CM:
+        # identical prior expressed as an MVN so the corr_Q proposal's
+        # real_vector support matches (check_support)
+        from alan_tpu import MultivariateNormal
+        cm_alpha_P = MultivariateNormal(
+            jnp.zeros(nCMs - 2),
+            covariance_matrix=cm_prior_scale ** 2 * jnp.eye(nCMs - 2))
+    else:
+        cm_alpha_P = Normal(0, cm_prior_scale, sample_shape=[nCMs - 2])
     P = Plate(
-        CM_alpha=Normal(0, cm_prior_scale, sample_shape=[nCMs - 2]),
+        CM_alpha=cm_alpha_P,
         Wearing_alpha=Normal(wearing_mean, wearing_sigma),
         Mobility_alpha=Normal(mobility_mean, mobility_sigma),
         RegionR=Normal(R_prior_mean_mean, R_prior_mean_scale + R_noise_scale),
@@ -110,8 +119,16 @@ def get_P(platesizes, covariates):
     return BoundPlate(P, platesizes, inputs=covariates)
 
 
-def generate_problem(platesizes, data, covariates, Q_param_type="opt"):
-    P = get_P(platesizes, covariates)
+def generate_problem(platesizes, data, covariates, Q_param_type="opt",
+                     corr_Q=False):
+    """``corr_Q=True`` (QEM only) replaces the factorised CM_alpha proposal
+    with a full-covariance MultivariateNormal: the NPI regression
+    coefficients are strongly correlated in the posterior (collinear
+    activation covariates), and the round-5 K-sweep showed their MP-vs-NUTS
+    discrepancy does NOT decay with K under a factorised Q — a structural
+    proposal limitation, not finite-K bias (results/covid_k_sweep.json;
+    reference covid Q variants: examples/models/covid/covid_only_*.py)."""
+    P = get_P(platesizes, covariates, corr_CM=corr_Q)
 
     def loc_scale(shape=None, loc_init=0.0, scale_init=1.0):
         if Q_param_type == "opt":
@@ -122,9 +139,18 @@ def generate_problem(platesizes, data, covariates, Q_param_type="opt"):
         sc = jnp.full(shape, scale_init) if shape else scale_init
         return (QEMParam(loc), QEMParam(sc))
 
+    if corr_Q:
+        if Q_param_type != "qem":
+            raise ValueError("corr_Q covid Q requires Q_param_type='qem'")
+        from alan_tpu import MultivariateNormal
+        cm_alpha_Q = MultivariateNormal(
+            QEMParam(jnp.zeros(nCMs - 2)),
+            covariance_matrix=QEMParam(jnp.eye(nCMs - 2)))
+    else:
+        cm_alpha_Q = Normal(*loc_scale((nCMs - 2,)))
     Q = Plate(
         npis=Group(
-            CM_alpha=Normal(*loc_scale((nCMs - 2,))),
+            CM_alpha=cm_alpha_Q,
             Wearing_alpha=Normal(*loc_scale()),
             Mobility_alpha=Normal(*loc_scale()),
             RegionR=Normal(*loc_scale(loc_init=1.0)),
