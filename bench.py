@@ -193,7 +193,21 @@ def bench_is_draws():
     n_latent_sites = 2 + movielens.M
 
     out = {}
-    for N in (100, 1000, 10000):
+    for N in (100, 1000, 3000):
+        try:
+            out[f"N{N}"] = _is_draws_one_N(problem, stateP, stateQ,
+                                           n_latent_sites, N)
+        except Exception as e:
+            # one N OOMing must not void the others (N=10000 needed 27 GB)
+            out[f"N{N}"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+    return out
+
+
+def _is_draws_one_N(problem, stateP, stateQ, n_latent_sites, N):
+        import numpy as np
+        import jax.numpy as jnp
+        from jax import lax
+        from alan_tpu import predict
         f = predict.importance_sample_fn(problem, K, N)
 
         def make_run(n_apps, f=f):
@@ -223,12 +237,10 @@ def bench_is_draws():
             if len(pos) >= 2:
                 break
         if not pos:
-            out[f"N{N}"] = {"error": "tunnel stall: no positive slopes"}
-            continue
+            return {"error": "tunnel stall: no positive slopes"}
         dt = float(np.median(pos))
-        out[f"N{N}"] = {"call_s": round(dt, 6),
-                        "draws_per_s": round(N * n_latent_sites / dt, 1)}
-    return out
+        return {"call_s": round(dt, 6),
+                "draws_per_s": round(N * n_latent_sites / dt, 1)}
 
 
 def bench_time_to_moment_error():
@@ -275,9 +287,13 @@ def main():
         # round-4 timing-estimator change: median-of-positive slopes (a
         # stall in the short scan arm deflates a slope toward zero, so the
         # old min-positive selection was biased LOW — r03's 0.225 ms sat
-        # below the documented 0.34-0.50 ms jitter band).  Cross-check:
-        # headline_vs_bandwidth_floor ~1.1-1.3 says the measured step sits
-        # just above its HBM roofline, consistent with the median.
+        # below the documented 0.34-0.50 ms jitter band).  Roofline
+        # cross-check: the bytes model lowers the SINGLE-step program, but
+        # the measured loop is an unroll-4 lax.scan whose body fuses
+        # ACROSS consecutive steps — cross-step intermediates never touch
+        # HBM, so the single-step byte floor is an UPPER bound on real
+        # per-step traffic and a measured step somewhat below it is
+        # consistent (r05 measured 0.8-1.2x of it across runs).
         "timing_note": "median-of-positive m-vs-4m scan slopes",
         # utilisation grounding: XLA cost-model FLOPs (a lower bound: Pallas
         # custom calls count as zero, scan bodies once) AND the analytic
