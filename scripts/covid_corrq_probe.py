@@ -58,9 +58,14 @@ def run(nRs=16, nDs=25, Ks=(30, 100), iters=150, draws=500, warmup=500,
     nuts_time = time.time() - t0
 
     out = {"model": f"covid nRs={nRs} nDs={nDs} (REDUCED)",
-           "iters": iters, "nuts_time_s": nuts_time, "arms": {}}
-    for arm, builder in (("factorised", lambda: build_problem(nRs, nDs, seed)),
-                         ("corr_Q", lambda: build_corrq(nRs, nDs, seed))):
+           "iters": iters, "nuts_time_s": nuts_time,
+           "factorised_control_note": (
+               "factorised-Q z-scores at the same seed/data/iters are in "
+               "results/covid_k_sweep.json (same build_problem); this "
+               "probe runs only the corr_Q arms"),
+           "arms": {}}
+    path = os.path.join(ROOT, "results", "covid_corrq_probe.json")
+    for arm, builder in (("corr_Q", lambda: build_corrq(nRs, nDs, seed)),):
         for K in Ks:
             p = builder()
             t0 = time.time()
@@ -87,6 +92,8 @@ def run(nRs=16, nDs=25, Ks=(30, 100), iters=150, draws=500, warmup=500,
                   {v: round(rec["variables"][v]["z_median"], 1)
                    for v in ("CM_alpha", "Mobility_alpha", "RegionR")
                    if v in rec["variables"]}, flush=True)
+            with open(path, "w") as fh:        # incremental save
+                json.dump(out, fh, indent=1)
     return out
 
 

@@ -144,6 +144,9 @@ def run(nRs=16, nDs=25, Ks=(10, 30, 100, 300), iters=150, draws=500,
               {v: round(rec["variables"][v]["z_median"], 1)
                for v in ("CM_alpha", "Mobility_alpha")
                if v in rec["variables"]}, flush=True)
+        with open(os.path.join(ROOT, "results", "covid_k_sweep.json"),
+                  "w") as f:               # incremental save: each K is
+            json.dump(sweep, f, indent=1)  # hours of 2-core CPU work
     return sweep
 
 
