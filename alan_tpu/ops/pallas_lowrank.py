@@ -462,7 +462,7 @@ def fused_available(S, P, I, J, F) -> bool:
     # 3F-wide segment grads)
     bp, bi, bj = _tiles(P, I, J, F, bwd=True)
     n_exp = pl.cdiv(P, bp) * pl.cdiv(I, bi) * S
-    f_eff = 3 * F if _PRECISION_MODE == "high" else F
+    f_eff = (-(-3 * F // 128) * 128) if _PRECISION_MODE == "high" else F
     if n_exp * pl.cdiv(J, bj) * bj * f_eff * 4 > 256 * 1024 * 1024:
         return False
     return True
