@@ -11,6 +11,30 @@ _LIB = None
 _TRIED = False
 
 
+def _autobuild(path):
+    """Build the planner on first import of a fresh checkout.
+
+    The native planner is not just faster than the opt_einsum fallback — its
+    plans differ, and on sharded programs a different contraction order can
+    change which dims GSPMD merges (the round-4 merge-gather class; the
+    headline 8-device compile carries 4.9 MB/step of all-gathers under the
+    fallback planner vs 0.2 MB under the native one).  A missing build must
+    therefore not silently degrade: try a quiet `make` when the toolchain is
+    present; fall back to opt_einsum only if that fails."""
+    src = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "csrc", "pathopt.cpp")
+    if os.path.exists(path) or not os.path.exists(src):
+        return
+    import subprocess
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-fPIC", "-shared", "-o", path, src],
+            check=True, capture_output=True, timeout=120)
+    except Exception:
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
@@ -18,6 +42,7 @@ def _load():
     _TRIED = True
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "_native", "libalanpath.so")
+    _autobuild(path)
     try:
         lib = ctypes.CDLL(path)
         lib.alan_plan_path.restype = ctypes.c_int

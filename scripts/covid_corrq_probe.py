@@ -23,7 +23,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
-from covid_k_sweep import _moment_table
+from covid_k_sweep import _moment_table, load_or_run_gold
 from moments_vs_hmc_covid import build_problem
 
 
@@ -47,15 +47,10 @@ def build_corrq(nRs, nDs, seed=0):
 def run(nRs=16, nDs=25, Ks=(30, 100), iters=150, draws=500, warmup=500,
         chains=4, seed=0, max_depth=8):
     from alan_tpu import train, mean
-    from alan_tpu.nuts import run_nuts
 
     gold_problem = build_problem(nRs, nDs, seed)
-    data_flat = dict(gold_problem._data)
-    t0 = time.time()
-    gold, diag = run_nuts(gold_problem.P, data_flat, num_samples=draws,
-                          num_warmup=warmup, num_chains=chains,
-                          key=jax.random.key(seed + 1), max_depth=max_depth)
-    nuts_time = time.time() - t0
+    gold, diag, nuts_time = load_or_run_gold(
+        gold_problem, draws, warmup, chains, seed, max_depth)
 
     out = {"model": f"covid nRs={nRs} nDs={nDs} (REDUCED)",
            "iters": iters, "nuts_time_s": nuts_time,

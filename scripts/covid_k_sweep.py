@@ -33,6 +33,45 @@ import numpy as np
 from moments_vs_hmc_covid import build_problem
 
 
+class _Gold:
+    """Shim so cached gold draws present the same `.data` face as live ones."""
+
+    def __init__(self, data):
+        self.data = data
+
+
+def load_or_run_gold(problem, draws, warmup, chains, seed, max_depth):
+    """NUTS gold for the reduced-covid posterior, cached on disk.
+
+    The gold costs ~an hour of 2-core CPU; the K-sweep and the corr-Q probe
+    share the identical posterior (same build_problem args/seed), so the
+    second consumer must not pay for it twice.
+    """
+    npz = os.path.join(ROOT, "results", "covid_nuts_gold.npz")
+    meta = os.path.join(ROOT, "results", "covid_nuts_gold_meta.json")
+    key = {"draws": draws, "warmup": warmup, "chains": chains, "seed": seed,
+           "max_depth": max_depth}
+    if os.path.exists(npz) and os.path.exists(meta):
+        with open(meta) as f:
+            m = json.load(f)
+        if all(m.get(k) == v for k, v in key.items()):
+            z = np.load(npz)
+            print("NUTS gold: loaded cache", npz, flush=True)
+            return {k: _Gold(z[k]) for k in z.files}, m["diag"], 0.0
+    from alan_tpu.nuts import run_nuts
+    t0 = time.time()
+    gold, diag = run_nuts(problem.P, dict(problem._data), num_samples=draws,
+                          num_warmup=warmup, num_chains=chains,
+                          key=jax.random.key(seed + 1), max_depth=max_depth)
+    nuts_time = time.time() - t0
+    np.savez(npz, **{k: np.asarray(h.data) for k, h in gold.items()})
+    jdiag = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v).tolist())
+             for k, v in diag.items()}
+    with open(meta, "w") as f:
+        json.dump(dict(key, diag=jdiag, nuts_time_s=nuts_time), f, indent=1)
+    return gold, jdiag, nuts_time
+
+
 def _moment_table(marg, gold, mean):
     """{var: (mp, gold_mean, stderr)} aligned arrays."""
     from alan_tpu.dims import as_dt, dims_of
@@ -56,21 +95,22 @@ def _moment_table(marg, gold, mean):
 
 
 def run(nRs=16, nDs=25, Ks=(10, 30, 100, 300), iters=150, draws=500,
-        warmup=500, chains=4, seed=0, max_depth=8, smc_particles=2048):
+        warmup=500, chains=4, seed=0, max_depth=8, smc_particles=2048,
+        skip_smc=False):
     from alan_tpu import train, mean
-    from alan_tpu.nuts import run_nuts
     from alan_tpu.smc import run_smc
 
     problem = build_problem(nRs, nDs, seed)
     data_flat = dict(problem._data)
 
-    t0 = time.time()
-    gold, diag = run_nuts(problem.P, data_flat, num_samples=draws,
-                          num_warmup=warmup, num_chains=chains,
-                          key=jax.random.key(seed + 1), max_depth=max_depth)
-    nuts_time = time.time() - t0
+    gold, diag, nuts_time = load_or_run_gold(problem, draws, warmup, chains,
+                                             seed, max_depth)
 
     # --- SMC on the same posterior: independent code path (#8) ----------
+    if skip_smc:   # moments_vs_smc_covid.json already recorded
+        return _mp_sweep(f"covid nRs={nRs} nDs={nDs} (REDUCED, same posterior "
+                         f"as moments_vs_hmc_covid.json)",
+                         gold, diag, nRs, nDs, Ks, iters, seed)
     t0 = time.time()
     smc_samples, smc_info = run_smc(problem.P, data_flat,
                                     num_particles=smc_particles,
@@ -111,18 +151,34 @@ def run(nRs=16, nDs=25, Ks=(10, 30, 100, 300), iters=150, draws=500,
         json.dump(smc_rec, f, indent=1)
     print("SMC-vs-NUTS:", json.dumps(smc_rec.get("overall")), flush=True)
 
+    return _mp_sweep(smc_rec["model"], gold, diag, nRs, nDs, Ks, iters, seed)
+
+
+def _mp_sweep(model_label, gold, diag, nRs, nDs, Ks, iters, seed):
     # --- MP K-sweep vs the NUTS gold (#5) -------------------------------
-    sweep = {"model": smc_rec["model"], "Ks": list(Ks), "iters": iters,
+    from alan_tpu import train, mean
+    sweep = {"model": model_label, "Ks": list(Ks), "iters": iters,
              "nuts_diag": {k: (float(v) if np.ndim(v) == 0 else
                                np.asarray(v).tolist()[:8])
                            for k, v in diag.items()},
              "by_K": {}}
+    out_path = os.path.join(ROOT, "results", "covid_k_sweep.json")
+    if os.path.exists(out_path):     # merge: single-K reruns keep prior arms
+        with open(out_path) as f:
+            prior = json.load(f)
+        sweep["by_K"].update(prior.get("by_K", {}))
+        sweep["Ks"] = sorted({*prior.get("Ks", []), *Ks})
+    from alan_tpu import Split, no_checkpoint
     for K in Ks:
         problem_k = build_problem(nRs, nDs, seed)        # fresh params
+        # K=300's nRs-broadcast cross-K factor is ~35 GB unsplit (OOM on one
+        # v5e chip); Split along the region plate keeps each chunk in HBM.
+        strat = Split("nRs", 2) if K >= 300 else no_checkpoint
         t0 = time.time()
-        train.fit(problem_k, method="qem", K=K, iters=iters, lr="0.1/t@100")
+        train.fit(problem_k, method="qem", K=K, iters=iters, lr="0.1/t@100",
+                  computation_strategy=strat)
         s = problem_k.sample(K=K, reparam=False, key=jax.random.key(seed + 2))
-        marg = s.marginals()
+        marg = s.marginals(computation_strategy=strat)
         mp_time = time.time() - t0
         tab = _moment_table(marg, gold, mean)
         rec = {"mp_time_s": mp_time, "variables": {}}
@@ -159,12 +215,14 @@ def main():
     ap.add_argument("--iters", type=int, default=150)
     ap.add_argument("--draws", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip-smc", action="store_true")
     ap.add_argument("--out", default=os.path.join(
         ROOT, "results", "covid_k_sweep.json"))
     a = ap.parse_args()
     if a.platform:
         jax.config.update("jax_platforms", a.platform)
-    r = run(a.nRs, a.nDs, tuple(a.Ks), a.iters, a.draws, seed=a.seed)
+    r = run(a.nRs, a.nDs, tuple(a.Ks), a.iters, a.draws, seed=a.seed,
+            skip_smc=a.skip_smc)
     with open(a.out, "w") as f:
         json.dump(r, f, indent=1)
     print(json.dumps(r.get("by_K", {}).get(str(a.Ks[-1]), {}).get("overall"),
